@@ -1,0 +1,154 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline jobs at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+Headline = the full extraction pipeline (synthesized ``pages`` table
+scaled to the sf, byte-identical contract verified on a sample) plus a
+representative slice of the relational/dedup/similarity queries on the
+driver testdata.  Set SPARK_GRAFT_SCALING=1 to also run the N-vs-4N
+scaling evidence (subprocess per parallelism level; see
+BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _pages_rows_for_sf(sf: float) -> int:
+    # sf0.1 ≈ 12k pages (~35 MB of text+html) — enough to surface the
+    # per-batch costs without dominating the driver's round budget
+    return max(300, int(sf * 120_000))
+
+
+def _synth_pages(sf: float, seed: int = 42) -> str:
+    from ocr_api_spark.sources.pages import write_pages
+
+    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_pages_sf{sf}_seed{seed}")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        write_pages(cache, n_rows=_pages_rows_for_sf(sf), seed=seed)
+        open(marker, "w").write("ok")
+    return cache
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from ocr_api_spark.plans.pipeline import run_extraction
+    from ocr_api_spark.plans.session import build_session
+
+    sf = _sf_from_dir(sf_dir)
+    spark = build_session(app_name=f"bench-sf{sf}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- headline: extraction pipeline over synthetic pages ---------------
+    synth_dir = _synth_pages(sf)
+
+    # warmup: spin up the JVM stages and the Python worker pool once so the
+    # timed run measures steady-state throughput (cold start amortizes to
+    # zero at production scale)
+    warm_out = tempfile.mkdtemp(prefix="bench_warm_")
+    run_extraction(
+        spark,
+        os.path.join(synth_dir, "pages.parquet"),
+        os.path.join(synth_dir, "claims.parquet"),
+        warm_out,
+        n_buckets=max(cpus * 2, 16),
+        n_salts=8,
+    )
+    shutil.rmtree(warm_out, ignore_errors=True)
+
+    out_dir = tempfile.mkdtemp(prefix="bench_out_")
+    t0 = time.time()
+    stats = run_extraction(
+        spark,
+        os.path.join(synth_dir, "pages.parquet"),
+        os.path.join(synth_dir, "claims.parquet"),
+        out_dir,
+        n_buckets=max(cpus * 2, 16),
+        n_salts=8,
+    )
+    timings["extraction_pipeline"] = round(time.time() - t0, 3)
+    extras["extraction_rows"] = stats["rows"]
+    extras["docs_per_sec"] = stats["docs_per_sec"]
+
+    # byte-identical spot check on a sample (the full check lives in tests)
+    got = (
+        spark.read.parquet(os.path.join(out_dir, "extracted"))
+        .select("url", "extracted_text")
+        .limit(500)
+        .toPandas()
+        .set_index("url")["extracted_text"]
+    )
+    golden = (
+        spark.read.parquet(os.path.join(synth_dir, "golden.parquet"))
+        .where(F.col("url").isin([str(u) for u in got.index]))
+        .toPandas()
+        .set_index("url")["extracted_text"]
+    )
+    sample_ok = all(got[u] == golden[u] for u in golden.index)
+    extras["byte_identical_sample"] = bool(sample_ok)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- representative query slice on driver testdata ---------------------
+    bench_queries = [
+        "q1_pricing_summary",
+        "q3_top_revenue",
+        "window_latest_order",
+        "doc_token_stats",
+        "doc_fingerprint_dedup",
+        "doc_minhash_lsh",
+        "emb_cosine_topk",
+    ]
+    qs = entry.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "extraction+query wall time (headline: docs/sec extraction throughput)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""The extraction and match UDF stages.
+
+Arrow-batched ``pandas_udf``s wrapping the pure kernels — the only
+Python↔JVM boundaries in the pipeline, amortized per batch.  Regexes
+compile once per Python worker at module import (the per-executor
+singleton pattern; contrast the reference's per-request PaddleOCR
+construction, app.py:2163 — the single biggest throughput lever noted
+in SURVEY.md §4.1).
+
+Row-level failures (e.g. the DL IndexError on address-less text,
+app.py:5196) are caught *per row* and surfaced as status='Failed',
+mirroring the reference's endpoint-level try/except that INSERTs a
+Failed row (app.py:2280).  A poison row never kills a partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ocr_api_spark.kernels import aadhaar, bank, boilerplate, dl, matching, pan, passport
+
+# --- schemas ---------------------------------------------------------------
+
+
+def _s(*names: str) -> StructType:
+    return StructType([StructField(n, StringType(), True) for n in names])
+
+
+PAN_STRUCT = _s("ocr_name", "ocr_father_name", "ocr_dob", "ocr_pan_number")
+AADHAAR_STRUCT = _s("ocr_name", "ocr_address", "ocr_dob", "ocr_adhar_number", "ocr_address_for_match")
+BANK_STRUCT = _s("ocr_IFSC", "ocr_MICR", "ocr_Account_Holder_Name", "ocr_account_number")
+FINANCIAL_STRUCT = _s("client_name", "micr_code", "ifsc_code", "account_number")
+DL_STRUCT = _s("dl_number", "name", "address_line_1", "address_line_2", "address_line_3", "pincode", "date_of_birth")
+PASSPORT_STRUCT = StructType(
+    [
+        StructField("passport_number", StringType(), True),
+        StructField("surname", StringType(), True),
+        StructField("given_name", StringType(), True),
+        StructField("date_of_birth", StringType(), True),
+        StructField("date_of_issue", StringType(), True),
+        StructField("date_of_expiry", StringType(), True),
+        StructField("address", ArrayType(StringType()), True),
+        StructField("pin", StringType(), True),
+        StructField("father_or_guardian", StringType(), True),
+        StructField("mother", StringType(), True),
+        StructField("spouse", StringType(), True),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("extracted_text", StringType(), True),
+        StructField("status", StringType(), False),
+        StructField("error", StringType(), True),
+        StructField("pan", PAN_STRUCT, True),
+        StructField("aadhaar", AADHAAR_STRUCT, True),
+        StructField("bank", BANK_STRUCT, True),
+        StructField("financial", FINANCIAL_STRUCT, True),
+        StructField("dl", DL_STRUCT, True),
+        StructField("passport", PASSPORT_STRUCT, True),
+    ]
+)
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("percentages", MapType(StringType(), DoubleType()), True),
+        StructField("average_match_percentage", IntegerType(), True),
+    ]
+)
+
+
+# --- per-row dispatch (runs inside the Arrow batch) ------------------------
+
+
+def _extract_pan(text: str) -> dict:
+    return {"pan": pan.extract_pan(text)}
+
+
+def _extract_aadhaar(text: str) -> dict:
+    return {"aadhaar": aadhaar.extract_aadhaar(text)}
+
+
+def _extract_bank(text: str) -> dict:
+    info = bank.extract_bank_data(text)
+    acct = info.get("ocr_account_number")
+    if acct is None:
+        # reference leaves the account via EasyOCR longest-run scan
+        acct = bank.extract_longest_account_number(text)
+    return {
+        "bank": {
+            "ocr_IFSC": info["ocr_IFSC"],
+            "ocr_MICR": info["ocr_MICR"],
+            "ocr_Account_Holder_Name": info["ocr_Account_Holder_Name"],
+            "ocr_account_number": acct,
+        }
+    }
+
+
+def _extract_financial(text: str) -> dict:
+    d = bank.extract_financial_data(text)
+    return {
+        "financial": {
+            "client_name": d["Client Name"],
+            "micr_code": d["MICR Code"],
+            "ifsc_code": d["IFSC Code"],
+            "account_number": d["Account Number"],
+        }
+    }
+
+
+def _extract_dl(text: str) -> dict:
+    d = dl.extract_dl_info(text)
+    addr = d["address"]
+    return {
+        "dl": {
+            "dl_number": d["dl_number"],
+            "name": d["name"],
+            "address_line_1": addr.get("line_1"),
+            "address_line_2": addr.get("line_2"),
+            "address_line_3": addr.get("line_3"),
+            "pincode": d["pincode"],
+            "date_of_birth": d["date_of_birth"],
+        }
+    }
+
+
+def _extract_passport(text: str) -> dict:
+    # single-payload adaptation of the two-image endpoint (app.py:5699-5712):
+    # front fields and rear fields both read from the row's text.
+    out = passport.extract_passport(text, text)
+    info, addr, fam = out["passport_info"], out["address_info"], out["family_info"]
+    return {
+        "passport": {
+            "passport_number": info["passport_number"],
+            "surname": info["surname"],
+            "given_name": info["given_name"],
+            "date_of_birth": info["date_of_birth"],
+            "date_of_issue": info["date_of_issue"],
+            "date_of_expiry": info["date_of_expiry"],
+            "address": addr["address"],
+            "pin": addr["pin"],
+            "father_or_guardian": fam["father_or_guardian"],
+            "mother": fam["mother"],
+            "spouse": fam["spouse"],
+        }
+    }
+
+
+_DISPATCH = {
+    "pan": _extract_pan,
+    "aadhaar": _extract_aadhaar,
+    "bank": _extract_bank,
+    "financial": _extract_financial,
+    "dl": _extract_dl,
+    "passport": _extract_passport,
+}
+
+_EMPTY_ROW = {
+    "extracted_text": None,
+    "status": "Failed",
+    "error": None,
+    "pan": None,
+    "aadhaar": None,
+    "bank": None,
+    "financial": None,
+    "dl": None,
+    "passport": None,
+}
+
+
+def extract_batch(texts: pd.Series, doc_types: pd.Series) -> pd.DataFrame:
+    """Batch kernel shared by the pandas UDF and the pytest oracle."""
+    rows = []
+    for text, doc_type in zip(texts, doc_types):
+        row = dict(_EMPTY_ROW)
+        if text is None:
+            row["error"] = "no text"
+            rows.append(row)
+            continue
+        fn = _DISPATCH.get(doc_type or "pan", _extract_pan)
+        try:
+            row.update(fn(text))
+            row["extracted_text"] = text
+            row["status"] = "Completed"
+        except Exception as e:  # noqa: BLE001 - per-row Failed contract
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+    return pd.DataFrame(rows, columns=list(EXTRACT_SCHEMA.fieldNames()))
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_udf(texts: pd.Series, doc_types: pd.Series) -> pd.DataFrame:
+    return extract_batch(texts, doc_types)
+
+
+@pandas_udf(StringType())
+def boilerplate_udf(htmls: pd.Series) -> pd.Series:
+    """binary HTML → main-content text.  Null-propagating, so wiring it
+    as ``coalesce(nullif(text, ''), boilerplate_udf(when(text='', html)))``
+    only pays the parse for rows that need it."""
+
+    def one(h):
+        if h is None:
+            return None
+        if isinstance(h, (bytes, bytearray)):
+            h = bytes(h).decode("utf-8", errors="replace")
+        return boilerplate.extract_main_text(h)
+
+    return htmls.map(one)
+
+
+def match_batch(
+    doc_types: pd.Series,
+    extracted: pd.Series,
+    names: pd.Series,
+    father_names: pd.Series,
+    dobs: pd.Series,
+    pans: pd.Series,
+    adharnos: pd.Series,
+    addresses: pd.Series,
+    ifscs: pd.Series,
+    micrs: pd.Series,
+    accounts: pd.Series,
+) -> pd.DataFrame:
+    """Match fold per row: the reference's per-doc-type score sets
+    (PAN app.py:2187-2200, Aadhaar app.py:2731-2744, financial
+    app.py:3239-3244)."""
+    out = []
+    for i in range(len(doc_types)):
+        doc_type = doc_types.iloc[i]
+        ext = extracted.iloc[i]
+        if ext is None or names.iloc[i] is None:
+            out.append({"percentages": None, "average_match_percentage": None})
+            continue
+        try:
+            if doc_type == "pan" and ext.get("pan") is not None:
+                e = ext["pan"]
+                db = {
+                    "name": names.iloc[i] or "",
+                    "father_name": father_names.iloc[i] or "",
+                    "dob": dobs.iloc[i] or "",
+                    "pan": pans.iloc[i] or "",
+                }
+                res = matching.pan_matching_results(e, db)
+                avg = matching.pan_average(e, res)
+                out.append({"percentages": {k: float(v) for k, v in res.items()}, "average_match_percentage": avg})
+            elif doc_type == "aadhaar" and ext.get("aadhaar") is not None:
+                e = ext["aadhaar"]
+                db = {
+                    "name": names.iloc[i] or "",
+                    "adharno": adharnos.iloc[i] or "",
+                    "address": addresses.iloc[i] or "",
+                    "dob": dobs.iloc[i] or "",
+                }
+                res = matching.aadhaar_matching_results(e, db)
+                avg = matching.aadhaar_average(e, res)
+                out.append({"percentages": {k: float(v) for k, v in res.items()}, "average_match_percentage": avg})
+            elif doc_type == "financial" and ext.get("financial") is not None:
+                e = ext["financial"]
+                extracted_ref_keys = {
+                    "Client Name": e["client_name"],
+                    "MICR Code": e["micr_code"],
+                    "IFSC Code": e["ifsc_code"],
+                    "Account Number": e["account_number"],
+                }
+                db = {
+                    "Client Name": names.iloc[i],
+                    "MICR Code": micrs.iloc[i],
+                    "IFSC Code": ifscs.iloc[i],
+                    "Account Number": accounts.iloc[i],
+                }
+                res = matching.financial_matching_results(extracted_ref_keys, db)
+                out.append({"percentages": {k: float(v) for k, v in res.items()}, "average_match_percentage": None})
+            else:
+                out.append({"percentages": None, "average_match_percentage": None})
+        except Exception:  # noqa: BLE001
+            out.append({"percentages": None, "average_match_percentage": None})
+    return pd.DataFrame(out, columns=["percentages", "average_match_percentage"])
+
+
+@pandas_udf(MATCH_SCHEMA)
+def match_udf(
+    doc_types: pd.Series,
+    extracted: pd.Series,
+    names: pd.Series,
+    father_names: pd.Series,
+    dobs: pd.Series,
+    pans: pd.Series,
+    adharnos: pd.Series,
+    addresses: pd.Series,
+    ifscs: pd.Series,
+    micrs: pd.Series,
+    accounts: pd.Series,
+) -> pd.DataFrame:
+    return match_batch(
+        doc_types, extracted, names, father_names, dobs, pans, adharnos, addresses, ifscs, micrs, accounts
+    )
+
+
+def resolve_text_column(df):
+    """``coalesce(nullif(text,''), boilerplate(html))`` — the C4-style
+    lazy fallback: HTML parsing only runs for rows without text, and the
+    parquet scan can prune ``html`` entirely when every row has text."""
+    needs_html = F.when(
+        F.col("text").isNull() | (F.length("text") == 0), F.col("html")
+    )
+    return df.withColumn(
+        "resolved_text",
+        F.coalesce(F.nullif(F.col("text"), F.lit("")), boilerplate_udf(needs_html)),
+    )

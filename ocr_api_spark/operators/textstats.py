@@ -1,0 +1,84 @@
+"""Text-analysis operators (training-data-pipeline tier).
+
+All JVM-side (pyspark.sql.functions only — no Python in the hot path):
+token counting, quality scoring, stopword ratios, n-gram-heuristic
+language guess, md5 document fingerprinting.  Each has an exact ANSI-SQL
+analog used by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small deterministic stopword sets for the heuristic language guess
+EN_STOP = ["the", "a", "and", "of", "to", "in", "is"]
+ES_STOP = ["el", "la", "de", "que", "y", "en"]
+FR_STOP = ["le", "la", "et", "les", "des", "en"]
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, BIGINT for cross-engine schema parity."""
+    return df.withColumn("token_count", F.size(F.split(F.col(text_col), " ")).cast("bigint"))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shallow quality features: chars, tokens, mean token length,
+    punctuation density — the reference's line-sanitize ratios
+    recast as columns (P2/P3 analogs)."""
+    df = with_token_count(df, text_col)
+    return (
+        df.withColumn("n_chars_obs", F.length(text_col).cast("bigint"))
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                (F.length(text_col) - F.col("token_count") + 1) / F.col("token_count"), 4
+            ).cast("double"),
+        )
+        .withColumn(
+            "punct_density",
+            F.round(
+                (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", "")))
+                / F.greatest(F.length(text_col), F.lit(1)),
+                4,
+            ).cast("double"),
+        )
+    )
+
+
+def with_stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """share of whitespace tokens that are English stopwords."""
+    tokens = F.split(F.col(text_col), " ")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    return df.withColumn(
+        "stopword_ratio",
+        F.round(n_stop / F.greatest(F.size(tokens), F.lit(1)), 4).cast("double"),
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess (n-gram heuristic tier): the language
+    whose stopword set scores most hits; 'und' on a zero-way tie."""
+    tokens = F.split(F.lower(F.col(text_col)), " ")
+
+    def score(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+    en, es, fr = score(EN_STOP), score(ES_STOP), score(FR_STOP)
+    return df.withColumn(
+        "lang_guess",
+        F.when((en >= es) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((es >= fr) & (es > 0), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 document fingerprint — the exact-dedup key."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+STOPWORD_SQL_EN = "', '".join(EN_STOP)

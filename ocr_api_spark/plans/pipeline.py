@@ -1,0 +1,186 @@
+"""The end-to-end extraction pipeline (reference lifecycle E1/E2 as one
+Spark job — SURVEY.md §3) with the scale contract of the north_rule:
+
+- **url-hash bucketing**: every row gets ``bucket = pmod(xxhash64(url),
+  n_buckets)``; the output is partitioned by bucket, and a completed
+  bucket is the unit of resume.
+- **skew salting**: hot hosts would skew a host-keyed shuffle; the
+  repartition key is ``(bucket, salt)`` with ``salt = pmod(xxhash64(url),
+  n_salts)`` so one hot bucket spreads over many tasks.  The salt only
+  affects placement — extraction is pure per-row, so content is
+  deterministic regardless of layout.
+- **lineage + metrics**: after the extraction write commits, one row per
+  bucket (rows in/out, failures, wall seconds) is appended to
+  ``metrics``; the set of completed buckets is the ``lineage`` table.
+  A re-run reads lineage first and filters completed buckets out of the
+  *scan* (partition pruning at the source), making a mid-flight kill
+  resumable without duplicates.
+- **claims join**: left join on url.  Claims at production scale are
+  bucketed the same way; at test scale AQE chooses a broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_api_spark.operators.extract import extract_udf, match_udf, resolve_text_column
+
+CLAIM_COLS = [
+    "name",
+    "father_name",
+    "dob",
+    "pan",
+    "adharno",
+    "address",
+    "ifsc",
+    "micr",
+    "account_number",
+    "company",
+    "sources",
+    "req_id",
+]
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+
+
+def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
+    return df.withColumn("salt", F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_salts)).cast("int"))
+
+
+def read_completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
+    lineage_path = os.path.join(out_dir, "lineage")
+    try:
+        rows = spark.read.parquet(lineage_path).select("bucket").distinct().collect()
+    except Exception:  # first run: no lineage yet
+        return []
+    return [r["bucket"] for r in rows]
+
+
+def extraction_plan(
+    pages: DataFrame,
+    claims: DataFrame | None,
+    n_buckets: int,
+    n_salts: int,
+    n_parts: int | None = None,
+    broadcast_claims: bool = True,
+) -> DataFrame:
+    """Build the logical plan: bucket+salt, repartition the *raw* pages
+    (parallelism for the UDF stage + alignment for the bucket-partitioned
+    sink — and the shuffle moves input bytes, not extracted structs),
+    join claims, resolve text (HTML branch lazy), extract, match.
+
+    ``broadcast_claims``: claims are per-url facts; at test scale they
+    broadcast, at 10^12 scale disable this and co-bucket both tables so
+    the join is shuffle-free."""
+    pages = with_salt(with_bucket(pages, n_buckets), n_salts)
+    if n_parts:
+        pages = pages.repartition(n_parts, "bucket", "salt")
+    if claims is not None:
+        right = F.broadcast(claims) if broadcast_claims else claims
+        joined = pages.join(right, "url", "left")
+    else:
+        joined = pages
+        for c in ["doc_type", *CLAIM_COLS]:
+            joined = joined.withColumn(c, F.lit(None).cast("string"))
+
+    resolved = resolve_text_column(joined)
+    extracted = resolved.withColumn("extraction", extract_udf(F.col("resolved_text"), F.col("doc_type")))
+    matched = extracted.withColumn(
+        "match",
+        match_udf(
+            F.col("doc_type"),
+            F.col("extraction"),
+            F.col("name"),
+            F.col("father_name"),
+            F.col("dob"),
+            F.col("pan"),
+            F.col("adharno"),
+            F.col("address"),
+            F.col("ifsc"),
+            F.col("micr"),
+            F.col("account_number"),
+        ),
+    )
+    return matched.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "bucket",
+        "salt",
+        "doc_type",
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.col("extraction.status").alias("status"),
+        F.col("extraction.error").alias("error"),
+        F.col("extraction.pan").alias("pan"),
+        F.col("extraction.aadhaar").alias("aadhaar"),
+        F.col("extraction.bank").alias("bank"),
+        F.col("extraction.financial").alias("financial"),
+        F.col("extraction.dl").alias("dl"),
+        F.col("extraction.passport").alias("passport"),
+        "match",
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages_path: str,
+    claims_path: str | None,
+    out_dir: str,
+    n_buckets: int = 64,
+    n_salts: int = 8,
+    repartition: int | None = None,
+) -> dict:
+    """Run (or resume) the pipeline.  Returns run statistics."""
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path)
+    claims = spark.read.parquet(claims_path) if claims_path else None
+
+    done = read_completed_buckets(spark, out_dir)
+    pages = with_bucket(pages, n_buckets)
+    if done:
+        pages = pages.filter(~F.col("bucket").isin(done))
+    pages = pages.drop("bucket")  # extraction_plan re-derives it
+
+    # Repartition on (bucket, salt) happens INSIDE the plan, before the
+    # UDF stage: it sets UDF parallelism (a compressed-byte-sized scan
+    # would otherwise under-partition a compute-heavy stage), moves raw
+    # input bytes instead of extracted structs, and aligns tasks with the
+    # bucket-partitioned sink (n_parts files, not n_tasks × n_buckets).
+    n_parts = repartition or spark.sparkContext.defaultParallelism * 2
+    plan = extraction_plan(pages, claims, n_buckets, n_salts, n_parts=n_parts)
+
+    out_path = os.path.join(out_dir, "extracted")
+    plan.write.mode("append").partitionBy("bucket").parquet(out_path)
+
+    # metrics + lineage from the committed output (exactly what landed);
+    # one job, column-pruned to (bucket, status)
+    written = spark.read.parquet(out_path)
+    if done:
+        written = written.filter(~F.col("bucket").isin(done))
+    stats_pdf = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.sum(F.when(F.col("status") == "Failed", 1).otherwise(0)).alias("rows_failed"),
+        )
+        .toPandas()
+    )
+    stats_pdf["wall_s"] = round(time.time() - t0, 3)
+    stats = spark.createDataFrame(stats_pdf).withColumn("attempt_ts", F.current_timestamp())
+    stats.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+    stats.select("bucket").distinct().write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+
+    n_rows = int(stats_pdf["rows_out"].sum()) if len(stats_pdf) else 0
+    wall = time.time() - t0
+    return {
+        "rows": n_rows,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_rows / wall, 2) if wall > 0 else None,
+        "buckets_skipped": len(done),
+    }

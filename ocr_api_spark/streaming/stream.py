@@ -1,0 +1,87 @@
+"""Streaming extraction (SURVEY.md §2.7 streaming analogs).
+
+The reference is request/response: each HTTP request is one document
+arrival (app.py:2064).  The streaming re-expression treats the
+``pages`` table as an unbounded source:
+
+- ``readStream`` over the parquet/Iceberg directory (new files = new
+  arrivals),
+- the same extraction UDF chain (the plan is identical — Structured
+  Streaming reuses the batch operators),
+- watermark on ``warc_ts`` + tumbling-window per-language counts (the
+  metrics analog of the reference's per-request MySQL INSERT), and
+- a running per-company credit decrement (J5, app.py:2251-2256) as a
+  stateful aggregate over the claims stream.
+
+All sinks checkpoint; ``availableNow`` triggers make the tests hermetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_api_spark.operators.extract import extract_udf, resolve_text_column
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str, schema=None) -> DataFrame:
+    reader = spark.readStream.format("parquet")
+    if schema is None:
+        schema = spark.read.parquet(pages_dir).schema
+    return reader.schema(schema).option("maxFilesPerTrigger", 8).load(pages_dir)
+
+
+def extraction_stream(pages: DataFrame, doc_type_col: str | None = None) -> DataFrame:
+    """The batch extraction stage applied to a stream (doc_type from the
+    stream itself or a constant 'pan' when absent)."""
+    resolved = resolve_text_column(pages)
+    dt = F.col(doc_type_col) if doc_type_col else F.lit("pan")
+    return resolved.withColumn("extraction", extract_udf(F.col("resolved_text"), dt)).select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.col("extraction.status").alias("status"),
+    )
+
+
+def windowed_doc_counts(extracted: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Late-data-tolerant per-language tumbling-window counts."""
+    # parquet written by pandas carries TIMESTAMP_NTZ; event time must be
+    # TIMESTAMP for watermarks
+    extracted = extracted.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("status") == "Failed", 1).otherwise(0)).alias("failed"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "docs", "failed")
+    )
+
+
+def credits_stream(claims: DataFrame, initial_credits: int = 1000) -> DataFrame:
+    """Per-company running credit decrement (J5): each claim consumes one
+    credit.  Expressed as a streaming aggregate (complete mode) — at
+    production scale this MERGEs into the accounts table per batch."""
+    return claims.groupBy("company").agg(
+        (F.lit(initial_credits) - F.count("*")).alias("credits_left"),
+        F.count("*").alias("docs_processed"),
+    )
+
+
+def run_stream_once(
+    spark: SparkSession, pages_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Process everything currently in ``pages_dir`` (availableNow) into
+    parquet, exactly-once via the checkpoint."""
+    stream = extraction_stream(read_pages_stream(spark, pages_dir))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

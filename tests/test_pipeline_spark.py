@@ -1,0 +1,131 @@
+"""End-to-end Spark pipeline tests.
+
+The correctness gate of the whole build: the pipeline's
+``extracted_text`` must be byte-identical per url to the golden table
+(document rows: the OCR text verbatim; web rows: the kernel boilerplate
+output), and a partially-completed run must resume without duplicates.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ocr_api_spark.sources.pages import write_pages
+
+spark = None
+
+
+@pytest.fixture(scope="module")
+def session():
+    from ocr_api_spark.plans.session import build_session
+
+    s = build_session(app_name="pipeline-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    paths = write_pages(str(d), n_rows=300, seed=42)
+    return paths
+
+
+def test_extracted_text_byte_identical(session, synth, tmp_path):
+    from ocr_api_spark.plans.pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    stats = run_extraction(session, synth["pages"], synth["claims"], out, n_buckets=16, n_salts=4)
+    assert stats["rows"] == 300
+
+    got = (
+        session.read.parquet(out + "/extracted")
+        .select("url", "extracted_text")
+        .toPandas()
+        .set_index("url")["extracted_text"]
+    )
+    golden = (
+        session.read.parquet(synth["golden"]).select("url", "extracted_text").toPandas().set_index("url")[
+            "extracted_text"
+        ]
+    )
+    assert len(got) == len(golden)
+    mismatches = [u for u in golden.index if got[u].encode() != golden[u].encode()]
+    assert not mismatches, f"{len(mismatches)} urls differ, e.g. {mismatches[:3]}"
+
+
+def test_match_scores_present_for_claimed_rows(session, synth, tmp_path):
+    from ocr_api_spark.plans.pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    run_extraction(session, synth["pages"], synth["claims"], out, n_buckets=16, n_salts=4)
+    df = session.read.parquet(out + "/extracted")
+    pan_rows = df.filter("doc_type = 'pan' and match.average_match_percentage is not null")
+    assert pan_rows.count() > 0
+    # claims carry the ground truth, so most PAN matches should be high
+    high = pan_rows.filter("match.average_match_percentage >= 90").count()
+    assert high > 0
+
+
+def test_resume_skips_completed_buckets_no_duplicates(session, synth, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.plans.pipeline import run_extraction, with_bucket
+
+    out = str(tmp_path / "out")
+    pages = session.read.parquet(synth["pages"])
+
+    # first run: only half the buckets (simulates a mid-flight kill after
+    # some buckets committed)
+    partial_dir = str(tmp_path / "partial_pages")
+    with_bucket(pages, 16).filter(F.col("bucket") < 8).drop("bucket").write.parquet(partial_dir)
+    run_extraction(session, partial_dir, synth["claims"], out, n_buckets=16, n_salts=4)
+    first = session.read.parquet(out + "/extracted").count()
+    assert first > 0
+
+    # second run over the FULL input resumes: completed buckets skipped
+    stats = run_extraction(session, synth["pages"], synth["claims"], out, n_buckets=16, n_salts=4)
+    assert stats["buckets_skipped"] > 0
+
+    result = session.read.parquet(out + "/extracted")
+    assert result.count() == 300
+    dupes = result.groupBy("url").count().filter("count > 1").count()
+    assert dupes == 0
+
+
+def test_failed_rows_do_not_kill_partition(session, tmp_path):
+    import pandas as pd
+
+    from ocr_api_spark.plans.pipeline import run_extraction
+
+    pages = pd.DataFrame(
+        [
+            {"url": "u1", "warc_ts": pd.Timestamp("2024-01-01"), "html": None, "text": "NAME: X\nno address", "lang": "en"},
+            {"url": "u2", "warc_ts": pd.Timestamp("2024-01-01"), "html": None, "text": "DRIVING LICENCE\nnothing", "lang": "en"},
+        ]
+    )
+    claims = pd.DataFrame(
+        [
+            {
+                "url": u,
+                "doc_type": "dl",
+                **{c: "" for c in ["name", "father_name", "dob", "pan", "adharno", "address", "ifsc", "micr", "account_number"]},
+                "company": "c",
+                "sources": "s",
+                "req_id": "r",
+            }
+            for u in ["u1", "u2"]
+        ]
+    )
+    p = str(tmp_path / "pages.parquet")
+    c = str(tmp_path / "claims.parquet")
+    pages.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    claims.to_parquet(c, index=False)
+    out = str(tmp_path / "out")
+    stats = run_extraction(session, p, c, out, n_buckets=4, n_salts=2)
+    assert stats["rows"] == 2
+    df = session.read.parquet(out + "/extracted").toPandas().set_index("url")
+    # address-less DL text raises IndexError in the kernel (reference
+    # parity) -> per-row Failed, the other row still completes
+    assert (df["status"] == "Failed").any()

@@ -1,0 +1,103 @@
+"""Streaming + multimodal operator tests (hermetic: availableNow
+triggers, deterministic fake decode)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def session():
+    from ocr_api_spark.plans.session import build_session
+
+    return build_session(app_name="stream-tests", master="local[4]", shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from ocr_api_spark.sources.pages import write_pages
+
+    d = tmp_path_factory.mktemp("stream_synth")
+    return write_pages(str(d), n_rows=120, seed=7)
+
+
+def test_stream_extraction_exactly_once(session, synth, tmp_path):
+    import os
+
+    from ocr_api_spark.streaming.stream import run_stream_once
+
+    pages_dir = os.path.dirname(synth["pages"])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # point the stream at a dir that contains only the pages file
+    stream_dir = str(tmp_path / "pages_stream")
+    os.makedirs(stream_dir)
+    os.link(synth["pages"], os.path.join(stream_dir, "pages.parquet"))
+
+    run_stream_once(session, stream_dir, out, ckpt)
+    n1 = session.read.parquet(out).count()
+    assert n1 == 120
+
+    # re-trigger without new files: checkpoint must prevent re-processing
+    run_stream_once(session, stream_dir, out, ckpt)
+    assert session.read.parquet(out).count() == 120
+
+
+def test_stream_windowed_counts(session, synth, tmp_path):
+    import os
+
+    from ocr_api_spark.streaming.stream import extraction_stream, read_pages_stream, windowed_doc_counts
+
+    stream_dir = str(tmp_path / "pages_stream")
+    os.makedirs(stream_dir)
+    os.link(synth["pages"], os.path.join(stream_dir, "pages.parquet"))
+
+    counts = windowed_doc_counts(extraction_stream(read_pages_stream(session, stream_dir)))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = session.sql("select * from win_counts").collect()
+    # append mode only emits closed windows; watermark leaves the last
+    # window open, so we just require the query to run and the schema
+    assert {c for c in session.table("win_counts").columns} == {"window_start", "lang", "docs", "failed"}
+    assert all(r["docs"] > 0 for r in rows)
+
+
+def test_multimodal_feature_plumbing(session):
+    from ocr_api_spark.operators.multimodal import image_features
+
+    df = session.createDataFrame(
+        [("u1", bytearray(b"payload-1"), "image"), ("u2", bytearray(b"payload-2"), "pdf"), ("u3", None, "image")],
+        "url string, payload binary, payload_kind string",
+    )
+    out = image_features(df).toPandas().set_index("url")
+    assert out.loc["u1", "decode_status"] == "fake"
+    assert len(out.loc["u1", "feature"]) == 8
+    assert out.loc["u3", "decode_status"] == "empty"
+    # deterministic: same payload -> same feature
+    out2 = image_features(df).toPandas().set_index("url")
+    assert list(out.loc["u2", "feature"]) == list(out2.loc["u2", "feature"])
+
+
+def test_multimodal_mask_and_token_text(session):
+    from ocr_api_spark.operators.multimodal import with_mask_regions, with_token_text
+
+    tokens = [
+        {"text": "Name RAHUL", "conf": 0.99, "box": [[0, 0], [100, 0], [100, 20], [0, 20]]},
+        {"text": "1234 5678 9012", "conf": 0.98, "box": [[10, 50], [250, 50], [250, 80], [10, 80]]},
+    ]
+    df = session.createDataFrame(
+        [("u1", tokens, 400, 300)],
+        "url string, tokens array<struct<text:string,conf:float,box:array<array<int>>>>, img_h int, img_w int",
+    )
+    out = with_token_text(with_mask_regions(df)).collect()[0]
+    assert out["token_text"] == "Name RAHUL\n1234 5678 9012"
+    assert len(out["mask_regions"]) == 1
+    r = out["mask_regions"][0]
+    assert (r["x_min"], r["y_min"], r["x_max"], r["y_max"]) == (10, 50, 170, 80)
