@@ -308,6 +308,64 @@ def match_udf(
     )
 
 
+FULL_SCHEMA = StructType(list(EXTRACT_SCHEMA.fields) + [StructField("match", MATCH_SCHEMA, True)])
+
+
+@pandas_udf(FULL_SCHEMA)
+def fused_extract_udf(
+    texts: pd.Series,
+    htmls: pd.Series,
+    doc_types: pd.Series,
+    names: pd.Series,
+    father_names: pd.Series,
+    dobs: pd.Series,
+    pans: pd.Series,
+    adharnos: pd.Series,
+    addresses: pd.Series,
+    ifscs: pd.Series,
+    micrs: pd.Series,
+    accounts: pd.Series,
+) -> pd.DataFrame:
+    """Single-crossing stage: boilerplate (when text is empty) + field
+    extraction + match fold in ONE Arrow round trip.  The separate
+    ``boilerplate_udf``/``extract_udf``/``match_udf`` remain for
+    composability; the pipeline uses this to avoid shipping page-sized
+    payloads across the JVM↔Python boundary three times."""
+
+    def resolve(text, html):
+        if text:
+            return text
+        if html is None:
+            return None
+        if isinstance(html, (bytes, bytearray)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        return boilerplate.extract_main_text(html)
+
+    resolved = pd.Series([resolve(t, h) for t, h in zip(texts, htmls)])
+    out = extract_batch(resolved, doc_types)
+    out["match"] = match_batch(
+        doc_types,
+        pd.Series(
+            [
+                {k: out.iloc[i][k] for k in ("pan", "aadhaar", "bank", "financial")}
+                if out.iloc[i]["status"] == "Completed"
+                else None
+                for i in range(len(out))
+            ]
+        ),
+        names,
+        father_names,
+        dobs,
+        pans,
+        adharnos,
+        addresses,
+        ifscs,
+        micrs,
+        accounts,
+    ).to_dict("records")
+    return out
+
+
 def resolve_text_column(df):
     """``coalesce(nullif(text,''), boilerplate(html))`` — the C4-style
     lazy fallback: HTML parsing only runs for rows without text, and the

@@ -1,0 +1,102 @@
+"""Template-driven extraction (reference E3: /extract_pdf_details_byurl,
+app.py:4017-4133).
+
+The reference fetches a bbox template per document id from an external
+service (app.py:3975-4014), clips each (page, field) rect out of the
+PDF, fuzzy-matches against the requested field values, and folds a
+running average (J4, app.py:3901-3967).
+
+Spark shape: templates are a small dim table → ``broadcast`` join; the
+clip text comes from the layout branch (token table → bbox clip — here
+the pre-clipped ``clips`` table stands in for the PDF reader, same
+schema either way); the fold is within-document (no shuffle) in an
+Arrow UDF calling the shared ``template_fold`` kernel.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ocr_api_spark.kernels.matching import template_fold
+
+FOLD_SCHEMA = StructType(
+    [
+        StructField("ocrdata", MapType(StringType(), StringType()), True),
+        StructField("matching_results", MapType(StringType(), DoubleType()), True),
+        StructField("average_match_percentage", DoubleType(), True),
+    ]
+)
+
+
+@pandas_udf(FOLD_SCHEMA)
+def template_fold_udf(clips_json: pd.Series, felds_json: pd.Series) -> pd.DataFrame:
+    """clips_json: ordered [(field, clip_text), ...]; felds_json: the
+    requested field→claimed-value map.  Average is float division by the
+    number of requested fields (reference quirk, app.py:3967)."""
+    rows = []
+    for cj, fj in zip(clips_json, felds_json):
+        if cj is None or fj is None:
+            rows.append({"ocrdata": None, "matching_results": None, "average_match_percentage": None})
+            continue
+        clips = [(c[0], c[1]) for c in json.loads(cj)]
+        felds = json.loads(fj)
+        ocrdata, matching_results, average = template_fold(clips, felds)
+        rows.append(
+            {
+                "ocrdata": {k: (v if v is None else str(v)) for k, v in ocrdata.items()},
+                "matching_results": {k: float(v) for k, v in matching_results.items()},
+                "average_match_percentage": float(average),
+            }
+        )
+    return pd.DataFrame(rows, columns=["ocrdata", "matching_results", "average_match_percentage"])
+
+
+def template_extraction(docs: DataFrame, templates: DataFrame, clips: DataFrame) -> DataFrame:
+    """docs(document_id, felds_json) × broadcast templates(document_id,
+    page, field, x, y, width, height) × clips(document_id, page, field,
+    clip_text) → per-document fold.
+
+    The (page, field) visit order is the template's, so clips are
+    re-assembled per document sorted by (page, field) — matching the
+    reference's dict-iteration order over ``document_template.items()``
+    (JSON object order = page order, fields within a page)."""
+    joined = (
+        F.broadcast(templates)
+        .join(clips, ["document_id", "page", "field"], "left")
+        .withColumn("clip_text", F.coalesce(F.col("clip_text"), F.lit("")))
+    )
+    ordered = (
+        joined.groupBy("document_id")
+        .agg(
+            F.to_json(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("page", "field", "clip_text"))
+                    ),
+                    lambda s: F.array(s["field"], s["clip_text"]),
+                )
+            ).alias("clips_json")
+        )
+    )
+    return (
+        docs.join(ordered, "document_id", "left")
+        .withColumn("fold", template_fold_udf(F.col("clips_json"), F.col("felds_json")))
+        .select(
+            "document_id",
+            F.col("fold.ocrdata").alias("ocrdata"),
+            F.col("fold.matching_results").alias("matching_results"),
+            F.col("fold.average_match_percentage").alias("average_match_percentage"),
+        )
+    )

@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_api_spark.operators.extract import extract_udf, match_udf, resolve_text_column
+from ocr_api_spark.operators.extract import fused_extract_udf
 
 CLAIM_COLS = [
     "name",
@@ -89,13 +89,14 @@ def extraction_plan(
         for c in ["doc_type", *CLAIM_COLS]:
             joined = joined.withColumn(c, F.lit(None).cast("string"))
 
-    resolved = resolve_text_column(joined)
-    extracted = resolved.withColumn("extraction", extract_udf(F.col("resolved_text"), F.col("doc_type")))
-    matched = extracted.withColumn(
-        "match",
-        match_udf(
+    # fused single Arrow crossing: boilerplate + extract + match
+    html_when_needed = F.when(F.col("text").isNull() | (F.length("text") == 0), F.col("html"))
+    extracted = joined.withColumn(
+        "extraction",
+        fused_extract_udf(
+            F.col("text"),
+            html_when_needed,
             F.col("doc_type"),
-            F.col("extraction"),
             F.col("name"),
             F.col("father_name"),
             F.col("dob"),
@@ -107,7 +108,7 @@ def extraction_plan(
             F.col("account_number"),
         ),
     )
-    return matched.select(
+    return extracted.select(
         "url",
         "warc_ts",
         "lang",
@@ -123,7 +124,7 @@ def extraction_plan(
         F.col("extraction.financial").alias("financial"),
         F.col("extraction.dl").alias("dl"),
         F.col("extraction.passport").alias("passport"),
-        "match",
+        F.col("extraction.match").alias("match"),
     )
 
 

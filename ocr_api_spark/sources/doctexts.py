@@ -330,11 +330,12 @@ def web_paragraph(rng: random.Random, n_words: int) -> str:
     return " ".join(rng.choice(WEB_WORDS) for _ in range(n_words)).capitalize() + "."
 
 
-def web_page_html(rng: random.Random):
+def web_page_html(rng: random.Random, n_paras: tuple[int, int] = (2, 5), para_words: tuple[int, int] = (20, 60)):
     """A synthetic web page: chrome (nav/menus/footer, high link density)
-    wrapping 2-5 long content paragraphs.  Returns (html, main_text)
-    where main_text is the kernel's own boilerplate output — the golden
-    extracted text for HTML rows."""
+    wrapping long content paragraphs.  Returns (html, main_text) where
+    main_text is the kernel's own boilerplate output — the golden
+    extracted text for HTML rows.  Pass bigger ``n_paras``/``para_words``
+    for production-shaped (tens-of-KB) pages."""
     from ocr_api_spark.kernels.boilerplate import extract_main_text
 
     nav = "<nav>" + "".join(f'<a href="/{w}">{w}</a> ' for w in rng.sample(WEB_WORDS, 6)) + "</nav>"
@@ -343,7 +344,9 @@ def web_page_html(rng: random.Random):
         + " | ".join(f'<a href="/m{i}">{rng.choice(WEB_WORDS)}</a>' for i in range(5))
         + "</div>"
     )
-    paras = "".join(f"<p>{web_paragraph(rng, rng.randint(20, 60))}</p>" for _ in range(rng.randint(2, 5)))
+    paras = "".join(
+        f"<p>{web_paragraph(rng, rng.randint(*para_words))}</p>" for _ in range(rng.randint(*n_paras))
+    )
     footer = "<footer>" + "".join(f'<a href="/f{i}">legal</a>' for i in range(4)) + "</footer>"
     title = web_paragraph(rng, 4)
     html = (

@@ -41,7 +41,7 @@ def _host(rng: random.Random) -> int:
     return rng.randint(2, N_HOSTS - 1)
 
 
-def generate_pages(n_rows: int, seed: int = 42, web_fraction: float = 0.4):
+def generate_pages(n_rows: int, seed: int = 42, web_fraction: float = 0.4, heavy_pages: bool = False):
     """Returns (pages_df, claims_df, golden_df) as pandas DataFrames.
 
     ``golden_df`` holds the byte-identical target ``extracted_text`` per
@@ -57,7 +57,10 @@ def generate_pages(n_rows: int, seed: int = 42, web_fraction: float = 0.4):
         warc_ts = EPOCH + timedelta(seconds=i * 7 + h)
         lang = rng.choices(["en", "hi", "und"], weights=[0.9, 0.07, 0.03])[0]
         if rng.random() < web_fraction:
-            html, main_text = web_page_html(rng)
+            if heavy_pages:  # production-shaped: ~1k words of content
+                html, main_text = web_page_html(rng, n_paras=(8, 16), para_words=(50, 120))
+            else:
+                html, main_text = web_page_html(rng)
             pages.append(
                 {"url": url, "warc_ts": warc_ts, "html": html.encode("utf-8"), "text": "", "lang": lang}
             )
@@ -92,12 +95,14 @@ def generate_pages(n_rows: int, seed: int = 42, web_fraction: float = 0.4):
     return pages_df, claims_df, golden_df
 
 
-def write_pages(out_dir: str, n_rows: int, seed: int = 42, web_fraction: float = 0.4) -> dict:
+def write_pages(
+    out_dir: str, n_rows: int, seed: int = 42, web_fraction: float = 0.4, heavy_pages: bool = False
+) -> dict:
     """Write pages/claims/golden parquet under ``out_dir``; returns paths."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    pages_df, claims_df, golden_df = generate_pages(n_rows, seed, web_fraction)
+    pages_df, claims_df, golden_df = generate_pages(n_rows, seed, web_fraction, heavy_pages)
     paths = {
         "pages": os.path.join(out_dir, "pages.parquet"),
         "claims": os.path.join(out_dir, "claims.parquet"),

@@ -1,0 +1,107 @@
+"""Semantic tests for the dedup / similarity operators on hand-built
+corpora (the oracle harness checks cross-engine equivalence; these check
+the operators actually *do the job* — near-dups found, ANN ⊆ exact)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def session():
+    from ocr_api_spark.plans.session import build_session
+
+    return build_session(app_name="op-tests", master="local[4]", shuffle_partitions=4)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the distributed engine "
+    "shuffles partitions across executors and amortizes serialization costs"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(session):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about cooking pasta with tomatoes and basil leaves"),
+        (4, "another unrelated document describing mountain hiking trails in the alps region"),
+    ]
+    return session.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_counts(session, near_dup_docs):
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.operators.dedup import exact_duplicate_stats
+
+    out = exact_duplicate_stats(near_dup_docs.withColumn("source", F.lit("s")), "text", "source").collect()[0]
+    assert out["rows"] == 5
+    assert out["distinct_texts"] == 4  # 0 and 1 collapse
+
+
+def test_minhash_lsh_finds_near_dups(session, near_dup_docs):
+    from ocr_api_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+
+    sh = word_shingles(near_dup_docs, "text", 3)
+    sigs = minhash_signatures(sh, k=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, [(0, 1), (2, 3)]).collect()}
+    assert (0, 1) in pairs  # exact dup always shares every band
+    assert (0, 3) not in pairs and (0, 4) not in pairs  # unrelated never
+
+
+def test_ngram_jaccard_values(session, near_dup_docs):
+    from ocr_api_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(near_dup_docs, "text", 3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0  # one word changed
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dup_proximity(session, near_dup_docs):
+    from ocr_api_spark.operators.dedup import simhash64
+
+    out = {r["doc_id"]: int(r["simhash"]) for r in simhash64(near_dup_docs, "text").collect()}
+    assert out[0] == out[1]  # identical text -> identical signature
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[0], out[2]) < hamming(out[0], out[3])
+
+
+def test_ann_subset_of_exact(session):
+    import random
+
+    from ocr_api_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = session.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+
+    exact = [r["vec_id"] for r in cosine_topk(df, q, 10).collect()]
+    approx = ann_topk_lsh(df, q, 10, bits=4)
+    approx_ids = [r["vec_id"] for r in approx.collect()]
+    # the ANN candidates must be ranked by the same exact cosine, and the
+    # query's own bucket must contain its true nearest neighbour most of
+    # the time at 4 bits; require ≥3/10 recall (deterministic seed)
+    recall = len(set(exact) & set(approx_ids)) / 10
+    assert recall >= 0.3, recall
+
+
+def test_lang_guess_on_real_stopwords(session):
+    from ocr_api_spark.operators.textstats import with_lang_guess
+
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog"),
+        (2, "el gato y la casa de la abuela en madrid"),
+        (3, "le chat et les maisons des amis en france"),
+        (4, "xyzzy qwerty asdf"),
+    ]
+    df = session.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r["lang_guess"] for r in with_lang_guess(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "und"}
