@@ -276,6 +276,158 @@ GROUP BY user_id
 """
 
 
+def _q5_nation_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def _rollup_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .withColumn("o_orderstatus", F.coalesce("o_orderstatus", F.lit("ALL")))
+        .withColumn("o_orderpriority", F.coalesce("o_orderpriority", F.lit("ALL")))
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def _minby_cheapest_part(spark, sf_dir):
+    # min_by/arg_min tie-breaking is engine-arbitrary; the deterministic
+    # form is min-join + lexicographic min among price ties
+    p = _t(spark, sf_dir, "part")
+    mins = p.groupBy("p_brand").agg(F.min("p_retailprice").alias("__mp"))
+    return (
+        p.join(mins, "p_brand")
+        .where(F.col("p_retailprice") == F.col("__mp"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("p_name").alias("cheapest_part"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        )
+    )
+
+
+_MINBY_SQL = """
+SELECT p.p_brand, min(p.p_name) AS cheapest_part, round(min(p.p_retailprice), 2) AS min_price
+FROM part p JOIN (SELECT p_brand, min(p_retailprice) AS mp FROM part GROUP BY p_brand) m
+  ON p.p_brand = m.p_brand AND p.p_retailprice = m.mp
+GROUP BY p.p_brand
+"""
+
+
+def _percentile_order_value(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2)::DOUBLE AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2)::DOUBLE AS p90
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _setop_hot_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where("event_type = 'click'").select("user_id")
+    buyers = ev.where("event_type = 'purchase'").select("user_id")
+    return (
+        clickers.intersect(buyers)
+        .exceptAll(ev.where("event_type = 'error'").select("user_id").distinct())
+        .distinct()
+        .select(F.col("user_id").cast("bigint").alias("user_id"))
+    )
+
+
+_SETOP_SQL = """
+SELECT DISTINCT user_id::BIGINT AS user_id FROM (
+  (SELECT user_id FROM events WHERE event_type = 'click'
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'purchase')
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+def _events_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 3).alias("avg_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 3) AS avg_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def _doc_line_explode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.where(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "lang", "word")
+        .limit(25)
+    )
+
+
+_EXPLODE_SQL = """
+SELECT lang, word, count(*)::BIGINT AS n
+FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 0
+GROUP BY lang, word
+ORDER BY n DESC, lang, word
+LIMIT 25
+"""
+
+
 # --- text analysis over documents ------------------------------------------
 
 
@@ -568,6 +720,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_parts_per_flag": _distinct_parts_per_flag,
         "events_hourly": _events_hourly,
         "events_user_stats": _events_user_stats,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "rollup_order_priority": _rollup_order_priority,
+        "minby_cheapest_part": _minby_cheapest_part,
+        "percentile_order_value": _percentile_order_value,
+        "setop_hot_users": _setop_hot_users,
+        "events_json_props": _events_json_props,
+        "doc_line_explode": _doc_line_explode,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_stopword_ratio": _doc_stopword_ratio,
@@ -596,6 +755,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_flag": _DISTINCT_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_user_stats": _EVENTS_USER_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "rollup_order_priority": _ROLLUP_SQL,
+        "minby_cheapest_part": _MINBY_SQL,
+        "percentile_order_value": _PERCENTILE_SQL,
+        "setop_hot_users": _SETOP_SQL,
+        "events_json_props": _JSON_SQL,
+        "doc_line_explode": _EXPLODE_SQL,
         "doc_token_stats": _DOC_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_stopword_ratio": _DOC_STOPWORD_SQL,

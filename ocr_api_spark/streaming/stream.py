@@ -71,6 +71,38 @@ def credits_stream(claims: DataFrame, initial_credits: int = 1000) -> DataFrame:
     )
 
 
+def credits_ledger_stream(claims: DataFrame, initial_credits: int = 1000) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-company credit ledger (the exact streaming analog of the
+    reference's SELECT→minus-1→UPDATE per request, app.py:2251-2256,
+    including the negative-balance possibility the reference's
+    ``is_negative_credit_allowed`` flag exists for)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "company string, credits_left long, docs_processed long"
+    state_schema = "credits_left long, docs_processed long"
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            credits_left, docs = state.get
+        else:
+            credits_left, docs = initial_credits, 0
+        credits_left -= n
+        docs += n
+        state.update((credits_left, docs))
+        yield pd.DataFrame(
+            {"company": [key[0]], "credits_left": [credits_left], "docs_processed": [docs]}
+        )
+
+    return claims.groupBy("company").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_once(
     spark: SparkSession, pages_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -1,0 +1,78 @@
+"""Physical-plan shape assertions (the scale contract, SURVEY.md §4):
+
+- predicate pushdown reaches the parquet scan (PushedFilters)
+- column pruning: the scan's ReadSchema excludes unused payload columns
+- dim joins broadcast (BroadcastHashJoin, no shuffle exchange on the dim)
+- the extraction pipeline has exactly ONE ArrowEvalPython stage (fused)
+- the lineage re-run prunes completed buckets at the scan (filter above
+  the source, not post-extraction)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def session():
+    from ocr_api_spark.plans.session import build_session
+
+    return build_session(app_name="plan-tests", master="local[2]", shuffle_partitions=2)
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_pruning(session):
+    from pyspark.sql import functions as F
+
+    li = session.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = explain_str(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" not in read_schema  # pruned
+    assert "l_orderkey" in read_schema
+
+
+def test_dim_join_broadcasts(session):
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["broadcast_dim_join"](session, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_plan_single_arrow_stage(session, tmp_path):
+    from ocr_api_spark.plans.pipeline import extraction_plan
+    from ocr_api_spark.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path), n_rows=50, seed=11)
+    pages = session.read.parquet(paths["pages"])
+    claims = session.read.parquet(paths["claims"])
+    plan = explain_str(extraction_plan(pages, claims, 8, 2, n_parts=4))
+    # formatted explain prints each node once in the tree ("+- ArrowEvalPython (9)")
+    # and once in the detail section ("(9) ArrowEvalPython") — count details
+    assert plan.count(") ArrowEvalPython") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    # the html payload only feeds the Arrow stage; the scan must not be
+    # pruned of it (needed) but the sink projection must not carry it
+    assert "Exchange" in plan  # the (bucket, salt) repartition
+
+
+def test_resume_filter_is_on_scan_side(session, tmp_path):
+    """The bucket filter applied on re-run must sit below the UDF stage
+    (cheap pre-extraction pruning), not above it."""
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.plans.pipeline import with_bucket
+    from ocr_api_spark.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path), n_rows=50, seed=12)
+    pages = with_bucket(session.read.parquet(paths["pages"]), 8).filter(~F.col("bucket").isin([0, 1]))
+    plan = explain_str(pages)
+    assert "ArrowEvalPython" not in plan  # pure scan+filter, no UDF involved
+    assert "Filter" in plan

@@ -101,3 +101,33 @@ def test_multimodal_mask_and_token_text(session):
     assert len(out["mask_regions"]) == 1
     r = out["mask_regions"][0]
     assert (r["x_min"], r["y_min"], r["x_max"], r["y_max"]) == (10, 50, 170, 80)
+
+
+def test_credits_ledger_stateful(session, synth, tmp_path):
+    import os
+
+    from ocr_api_spark.streaming.stream import credits_ledger_stream
+
+    stream_dir = str(tmp_path / "claims_stream")
+    os.makedirs(stream_dir)
+    os.link(synth["claims"], os.path.join(stream_dir, "claims.parquet"))
+    schema = session.read.parquet(synth["claims"]).schema
+    claims = session.readStream.format("parquet").schema(schema).load(stream_dir)
+
+    ledger = credits_ledger_stream(claims, initial_credits=100)
+    q = (
+        ledger.writeStream.format("memory")
+        .queryName("credits_ledger")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["company"]: r for r in session.sql("select * from credits_ledger").collect()}
+    import pandas as pd
+
+    truth = pd.read_parquet(synth["claims"]).groupby("company").size()
+    for company, n in truth.items():
+        assert rows[company]["docs_processed"] == n
+        assert rows[company]["credits_left"] == 100 - n
