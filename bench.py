@@ -130,6 +130,33 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # single-core kernel micro-numbers: the scale-predictive figures
+    # (e2e docs/sec at this sf is fixed-cost-dominated; these are not)
+    import random
+
+    import pandas as pd
+
+    from ocr_api_spark.kernels.boilerplate import extract_main_text
+    from ocr_api_spark.operators.extract import extract_batch
+    from ocr_api_spark.sources.doctexts import FAMILY_DOC_TYPE, GENERATORS, web_page_html
+
+    rng = random.Random(1)
+    fams = list(GENERATORS)
+    texts, dts = [], []
+    for i in range(2000):
+        f = fams[i % len(fams)]
+        t, _ = GENERATORS[f](rng)
+        texts.append(t)
+        dts.append(FAMILY_DOC_TYPE[f])
+    t0 = time.time()
+    extract_batch(pd.Series(texts), pd.Series(dts))
+    extras["kernel_extract_rows_per_sec_core"] = round(2000 / (time.time() - t0))
+    htmls = [web_page_html(rng)[0] for _ in range(400)]
+    t0 = time.time()
+    for h in htmls:
+        extract_main_text(h)
+    extras["kernel_boilerplate_pages_per_sec_core"] = round(400 / (time.time() - t0))
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "extraction+query wall time (headline: docs/sec extraction throughput)",

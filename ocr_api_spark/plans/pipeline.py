@@ -128,6 +128,21 @@ def extraction_plan(
     )
 
 
+def dedupe_pages(pages: DataFrame) -> DataFrame:
+    """Exact-dedup stage (training-data-pipeline tier): one row per
+    distinct text payload, deterministic keeper (min url).  At scale this
+    is one shuffle keyed by the md5 fingerprint — high cardinality, no
+    skew.  HTML rows dedupe on the raw payload."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.coalesce(F.nullif(F.col("text"), F.lit("")), F.col("html").cast("string"), F.lit("")))
+    return (
+        pages.withColumn("__rn", F.row_number().over(Window.partitionBy(key).orderBy("url")))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def run_extraction(
     spark: SparkSession,
     pages_path: str,
@@ -136,10 +151,13 @@ def run_extraction(
     n_buckets: int = 64,
     n_salts: int = 8,
     repartition: int | None = None,
+    dedupe: bool = False,
 ) -> dict:
     """Run (or resume) the pipeline.  Returns run statistics."""
     t0 = time.time()
     pages = spark.read.parquet(pages_path)
+    if dedupe:
+        pages = dedupe_pages(pages)
     claims = spark.read.parquet(claims_path) if claims_path else None
 
     done = read_completed_buckets(spark, out_dir)

@@ -129,3 +129,35 @@ def test_failed_rows_do_not_kill_partition(session, tmp_path):
     # address-less DL text raises IndexError in the kernel (reference
     # parity) -> per-row Failed, the other row still completes
     assert (df["status"] == "Failed").any()
+
+
+def test_salt_affects_placement_not_content(session, synth, tmp_path):
+    """north_rule: salting must never change per-url output bytes."""
+    from ocr_api_spark.plans.pipeline import run_extraction
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_extraction(session, synth["pages"], synth["claims"], out_a, n_buckets=16, n_salts=2)
+    run_extraction(session, synth["pages"], synth["claims"], out_b, n_buckets=16, n_salts=13)
+    a = session.read.parquet(out_a + "/extracted").select("url", "extracted_text").toPandas().set_index("url")["extracted_text"]
+    b = session.read.parquet(out_b + "/extracted").select("url", "extracted_text").toPandas().set_index("url")["extracted_text"]
+    assert len(a) == len(b)
+    assert all(a[u] == b[u] for u in a.index)
+
+
+def test_dedupe_stage(session, tmp_path):
+    import pandas as pd
+
+    from ocr_api_spark.plans.pipeline import dedupe_pages
+
+    pages = pd.DataFrame(
+        [
+            {"url": "u1", "warc_ts": pd.Timestamp("2024-01-01"), "html": None, "text": "SAME TEXT", "lang": "en"},
+            {"url": "u2", "warc_ts": pd.Timestamp("2024-01-01"), "html": None, "text": "SAME TEXT", "lang": "en"},
+            {"url": "u3", "warc_ts": pd.Timestamp("2024-01-01"), "html": None, "text": "OTHER", "lang": "en"},
+        ]
+    )
+    p = str(tmp_path / "pages.parquet")
+    pages.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = dedupe_pages(session.read.parquet(p)).select("url").toPandas()
+    assert sorted(out["url"]) == ["u1", "u3"]  # min-url keeper, deterministic
