@@ -105,3 +105,36 @@ def test_lang_guess_on_real_stopwords(session):
     df = session.createDataFrame(rows, "id int, text string")
     out = {r["id"]: r["lang_guess"] for r in with_lang_guess(df).collect()}
     assert out == {1: "en", 2: "es", 3: "fr", 4: "und"}
+
+
+def test_ivf_ann_recall(session):
+    import random
+
+    from ocr_api_spark.operators.ivf import build_ivf, ivf_topk
+    from ocr_api_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(9)
+    # two well-separated clusters + noise so IVF lists are meaningful
+    rows = []
+    for i in range(400):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + rng.uniform(-0.3, 0.3) for _ in range(8)]))
+    df = session.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0] * 8
+
+    assigned, centroids = build_ivf(df, k=4)
+    exact = [r["vec_id"] for r in cosine_topk(df, q, 10).collect()]
+
+    def recall(n_probe):
+        ids = [r["vec_id"] for r in ivf_topk(assigned, centroids, q, 10, n_probe=n_probe).collect()]
+        return len(set(exact) & set(ids)) / 10
+
+    # more probes -> more recall; probing every positive-side list is exact
+    r2, r4 = recall(2), recall(4)
+    assert r2 >= 0.5, r2
+    assert r4 == 1.0, r4
+    assert r4 >= r2
+
+    # determinism: same seed -> same assignment
+    assigned2, centroids2 = build_ivf(df, k=4)
+    assert centroids == centroids2
