@@ -161,3 +161,31 @@ def test_dedupe_stage(session, tmp_path):
     pages.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
     out = dedupe_pages(session.read.parquet(p)).select("url").toPandas()
     assert sorted(out["url"]) == ["u1", "u3"]  # min-url keeper, deterministic
+
+
+def test_unicode_byte_fidelity_through_arrow(session, tmp_path):
+    """Multi-byte content must survive HTML parse + Arrow round trip +
+    parquet byte-identically."""
+    import pandas as pd
+
+    from ocr_api_spark.kernels.boilerplate import extract_main_text
+    from ocr_api_spark.plans.pipeline import run_extraction
+
+    para = (
+        "Ceci est un paragraphe assez long en français avec des accents é è ç "
+        "和一些中文字符混合在一起 plus emoji 🚀 and enough english words to pass "
+        "the classifier threshold for a content block in the page."
+    )
+    html = f"<html><body><nav><a href='/'>home</a></nav><article><p>{para}</p><p>{para}</p></article></body></html>"
+    golden = extract_main_text(html)
+    assert "français" in golden and "中文字符" in golden
+
+    pages = pd.DataFrame(
+        [{"url": "u1", "warc_ts": pd.Timestamp("2024-01-01"), "html": html.encode("utf-8"), "text": "", "lang": "fr"}]
+    )
+    p = str(tmp_path / "pages.parquet")
+    pages.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = str(tmp_path / "out")
+    run_extraction(session, p, None, out, n_buckets=4, n_salts=2)
+    got = session.read.parquet(out + "/extracted").select("extracted_text").collect()[0][0]
+    assert got.encode("utf-8") == golden.encode("utf-8")
