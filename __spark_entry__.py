@@ -624,6 +624,79 @@ SELECT DISTINCT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b FROM pairs
 """
 
 
+def _field_grammar_columns(spark, sf_dir):
+    """Column-level field grammars (F1/F2/F3/F5/F9/F10/F12/F17/F19 as
+    JVM expressions) over a deterministic synthetic field string derived
+    from doc_id — extraction + OCR-confusion repair verified against
+    DuckDB's regex engine."""
+    from ocr_api_spark.functions import fields
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.lit("PAN ABCDE"),
+        F.lpad((did % 100).cast("string"), 2, "0"),
+        F.lit("S7F DOB "),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit("/"),
+        F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+        F.lit("/19"),
+        F.lpad((did % 99).cast("string"), 2, "0"),
+        F.lit(" IFSC SBIN0"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("O8X MICR "),
+        F.lpad((did % 999999999).cast("string"), 9, "0"),
+        F.lit(" UID "),
+        F.lpad((did % 9999).cast("string"), 4, "0"),
+        F.lit(" I2O4 "),
+        F.lpad((did % 7777).cast("string"), 4, "0"),
+        F.lit(" AC "),
+        F.lpad(did.cast("string"), 12, "0"),
+    )
+    s = synth.alias("s")
+    return docs.select(
+        did.cast("bigint").alias("doc_id"),
+        fields.pan_relaxed_repair_col(synth).alias("pan"),
+        fields.dob_norm_col(fields.dob_col(synth)).alias("dob"),
+        fields.ifsc_global_repair_col(synth).alias("ifsc"),
+        fields.micr_col(synth).alias("micr"),
+        fields.aadhaar_spaced_col(synth).alias("uid"),
+        fields.account_col(synth).alias("account"),
+    )
+
+
+_FIELD_GRAMMAR_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+         'PAN ABCDE' || lpad((doc_id % 100)::VARCHAR, 2, '0') || 'S7F DOB '
+         || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '/'
+         || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '/19'
+         || lpad((doc_id % 99)::VARCHAR, 2, '0')
+         || ' IFSC SBIN0' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || 'O8X MICR '
+         || lpad((doc_id % 999999999)::VARCHAR, 9, '0')
+         || ' UID ' || lpad((doc_id % 9999)::VARCHAR, 4, '0') || ' I2O4 '
+         || lpad((doc_id % 7777)::VARCHAR, 4, '0')
+         || ' AC ' || lpad(doc_id::VARCHAR, 12, '0') AS s
+  FROM documents WHERE doc_id < 200
+),
+rel AS (
+  SELECT doc_id, s, regexp_extract(s, '[A-Z]{5}[0-9A-Z]{4}[A-Z]') AS relaxed FROM synth
+)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN regexp_matches(
+                substring(relaxed, 1, 5) || translate(substring(relaxed, 6, 4), 'SAT', '547') || substring(relaxed, 10, 1),
+                '^[A-Z]{5}[0-9]{4}[A-Z]$')
+            THEN substring(relaxed, 1, 5) || translate(substring(relaxed, 6, 4), 'SAT', '547') || substring(relaxed, 10, 1)
+            ELSE '' END AS pan,
+       regexp_replace(regexp_replace(regexp_extract(s, '\\d{2}[-/]\\d{2}[-/]\\d{4}'), '/', '-', 'g'), '^-+|-+$', '', 'g') AS dob,
+       regexp_extract(translate(s, '8O', 'B0'), '\\b[A-Z]{4}0[A-Z0-9]{6}\\b') AS ifsc,
+       regexp_extract(s, '\\b\\d{9}\\b') AS micr,
+       regexp_extract(translate(s, 'OI|', '011'), '\\b\\d{4}\\s?\\d{4}\\s?\\d{4}\\b') AS uid,
+       regexp_extract(s, '\\b\\d{10,16}\\b') AS account
+FROM rel
+"""
+
+
 # --- similarity search over embeddings --------------------------------------
 
 # deterministic query vector: first 8 dims alternate sign, rest zero
@@ -701,6 +774,55 @@ def _extract_pan_over_documents(spark, sf_dir):
     )
 
 
+def _extract_all_branches(spark, sf_dir):
+    """Every extractor branch (pan/aadhaar/bank/financial/dl/passport)
+    exercised distributed, doc_type round-robined by doc_id — kernels
+    have no SQL analog, so this is a rows-only check."""
+    from ocr_api_spark.operators.extract import extract_udf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    doc_type = F.element_at(
+        F.array(*[F.lit(t) for t in ["pan", "aadhaar", "bank", "financial", "dl", "passport"]]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    ex = docs.withColumn("doc_type", doc_type).withColumn(
+        "extraction", extract_udf(F.col("text"), F.col("doc_type"))
+    )
+    return ex.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "doc_type",
+        F.col("extraction.status").alias("status"),
+    )
+
+
+def _doc_spans(spark, sf_dir):
+    """Span annotation (J7/F45) over documents: all occurrences of two
+    probe words.  The span *count* has an exact SQL analog (replace-count
+    arithmetic for non-self-overlapping literals), so this is
+    oracle-checked; span positions are covered by the kernel tests."""
+    from ocr_api_spark.operators.spans_op import with_spans
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .withColumn("w1", F.lit("spark"))
+        .withColumn("w2", F.lit("join"))
+    )
+    out = with_spans(docs, "text", {"W1": "w1", "W2": "w2"})
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+    )
+
+
+_DOC_SPANS_SQL = """
+SELECT doc_id::BIGINT AS doc_id,
+       ((length(text) - length(replace(text, 'spark', ''))) / 5
+        + (length(text) - length(replace(text, 'join', ''))) / 4)::BIGINT AS n_spans
+FROM documents WHERE doc_id < 300
+"""
+
+
 def _doc_simhash(spark, sf_dir):
     from ocr_api_spark.operators.dedup import simhash64
 
@@ -727,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_hot_users": _setop_hot_users,
         "events_json_props": _events_json_props,
         "doc_line_explode": _doc_line_explode,
+        "field_grammar_columns": _field_grammar_columns,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_stopword_ratio": _doc_stopword_ratio,
@@ -739,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sign_buckets": _emb_sign_buckets,
         "emb_label_centroid": _emb_label_centroid_norm,
         "extract_pan_over_documents": _extract_pan_over_documents,
+        "extract_all_branches": _extract_all_branches,
+        "doc_spans": _doc_spans,
         "doc_simhash": _doc_simhash,
     }
 
@@ -762,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "setop_hot_users": _SETOP_SQL,
         "events_json_props": _JSON_SQL,
         "doc_line_explode": _EXPLODE_SQL,
+        "field_grammar_columns": _FIELD_GRAMMAR_SQL,
         "doc_token_stats": _DOC_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_stopword_ratio": _DOC_STOPWORD_SQL,
@@ -770,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_levenshtein": _DOC_LEV_SQL,
         "doc_ngram_jaccard": _DOC_JACCARD_SQL,
         "doc_minhash_lsh": _DOC_MINHASH_SQL,
+        "doc_spans": _DOC_SPANS_SQL,
         "emb_cosine_topk": _emb_cosine_topk_sql(),
         "emb_sign_buckets": _EMB_BUCKETS_SQL,
         "emb_label_centroid": _EMB_CENTROID_SQL,
