@@ -3,7 +3,9 @@
 ``entry(spark)`` runs the flagship spine over sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every SQL-expressible operator family from
 SURVEY.md §2.7 plus the training-data-pipeline tier (dedup, similarity
-search, text analysis) for the DuckDB cross-check at sf0.01.
+search, text analysis, field grammars) for the DuckDB cross-check at
+sf0.01 — 30 oracle-checked queries, 3 rows-only (kernel extraction and
+xxhash64 simhash have no SQL analog).
 
 Cross-engine discipline (the driver hashes values after sorting columns
 by name):

@@ -26,6 +26,13 @@ WEB_WORDS = (
     "initialisation while arrow batches amortise serialisation costs across rows"
 ).split()
 
+# a multi-script word pool for non-en pages: byte-identical extraction
+# must survive multi-byte UTF-8 through Arrow/parquet round trips
+WEB_WORDS_INTL = (
+    "données extraction répartie straße größe 中文网页 内容提取 データ 抽出 "
+    "παράδειγμα кириллица содержание émoji🚀 naïve coöperate"
+).split()
+
 
 def rand_name(rng: random.Random) -> str:
     return f"{rng.choice(FIRST)} {rng.choice(LAST)}"
@@ -326,8 +333,9 @@ FAMILY_DOC_TYPE = {
 }
 
 
-def web_paragraph(rng: random.Random, n_words: int) -> str:
-    return " ".join(rng.choice(WEB_WORDS) for _ in range(n_words)).capitalize() + "."
+def web_paragraph(rng: random.Random, n_words: int, intl: bool = False) -> str:
+    pool = WEB_WORDS_INTL if intl else WEB_WORDS
+    return " ".join(rng.choice(pool) for _ in range(n_words)).capitalize() + "."
 
 
 def web_page_html(rng: random.Random, n_paras: tuple[int, int] = (2, 5), para_words: tuple[int, int] = (20, 60)):
@@ -344,8 +352,9 @@ def web_page_html(rng: random.Random, n_paras: tuple[int, int] = (2, 5), para_wo
         + " | ".join(f'<a href="/m{i}">{rng.choice(WEB_WORDS)}</a>' for i in range(5))
         + "</div>"
     )
+    intl = rng.random() < 0.15  # a slice of pages is multi-script
     paras = "".join(
-        f"<p>{web_paragraph(rng, rng.randint(*para_words))}</p>" for _ in range(rng.randint(*n_paras))
+        f"<p>{web_paragraph(rng, rng.randint(*para_words), intl)}</p>" for _ in range(rng.randint(*n_paras))
     )
     footer = "<footer>" + "".join(f'<a href="/f{i}">legal</a>' for i in range(4)) + "</footer>"
     title = web_paragraph(rng, 4)
