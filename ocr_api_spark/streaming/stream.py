@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_api_spark.operators.extract import extract_udf, resolve_text_column
+from ocr_api_spark.operators.extract import extract_udf, fused_extract_udf, resolve_text_column
+from ocr_api_spark.plans.pipeline import CLAIM_COLS
 
 
 def read_pages_stream(spark: SparkSession, pages_dir: str, schema=None) -> DataFrame:
@@ -42,6 +43,32 @@ def extraction_stream(pages: DataFrame, doc_type_col: str | None = None) -> Data
         "lang",
         F.col("extraction.extracted_text").alias("extracted_text"),
         F.col("extraction.status").alias("status"),
+    )
+
+
+def extraction_stream_with_claims(pages: DataFrame, claims_static: DataFrame) -> DataFrame:
+    """Stream-static join: the pages stream joins the (slowly-changing)
+    claims table, then runs the same fused single-crossing stage as the
+    batch pipeline — plan parity between batch and streaming."""
+    joined = pages.join(claims_static, "url", "left")
+    html_when_needed = F.when(F.col("text").isNull() | (F.length("text") == 0), F.col("html"))
+    out = joined.withColumn(
+        "extraction",
+        fused_extract_udf(
+            F.col("text"),
+            html_when_needed,
+            F.col("doc_type"),
+            *[F.col(c) for c in CLAIM_COLS[:9]],
+        ),
+    )
+    return out.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "doc_type",
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.col("extraction.status").alias("status"),
+        F.col("extraction.match").alias("match"),
     )
 
 

@@ -280,3 +280,10 @@ def test_boilerplate_deterministic():
 def test_boilerplate_total_on_malformed():
     assert isinstance(boilerplate.extract_main_text("<div><p>unclosed"), str)
     assert boilerplate.extract_main_text("") == ""
+
+
+def test_convert_to_ddmmyyyy():
+    # F6 (app.py:122-127): dateutil leniency + the literal error string
+    assert common.convert_to_ddmmyyyy("2 March 1990") == "02-03-1990"
+    assert common.convert_to_ddmmyyyy("1990-03-02") == "02-03-1990"
+    assert common.convert_to_ddmmyyyy("not a date") == "Invalid date format"

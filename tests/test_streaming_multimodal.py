@@ -131,3 +131,28 @@ def test_credits_ledger_stateful(session, synth, tmp_path):
     for company, n in truth.items():
         assert rows[company]["docs_processed"] == n
         assert rows[company]["credits_left"] == 100 - n
+
+
+def test_stream_static_claims_join(session, synth, tmp_path):
+    import os
+
+    from ocr_api_spark.streaming.stream import extraction_stream_with_claims, read_pages_stream
+
+    stream_dir = str(tmp_path / "pages_stream")
+    os.makedirs(stream_dir)
+    os.link(synth["pages"], os.path.join(stream_dir, "pages.parquet"))
+    claims = session.read.parquet(synth["claims"])
+
+    out = extraction_stream_with_claims(read_pages_stream(session, stream_dir), claims)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_claims")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = session.sql("select * from stream_claims").collect()
+    assert len(rows) == 120
+    matched = [r for r in rows if r["match"] and r["match"]["average_match_percentage"] is not None]
+    assert len(matched) > 0  # claimed doc rows carry match folds in streaming too
