@@ -1,0 +1,132 @@
+"""Executor-level scaling evidence: ``local-cluster[N, 4, mem]`` runs N
+real executor JVMs (own heap, own Python worker pool, netty shuffle) —
+the faithful sandbox stand-in for "N executors vs 4N executors"
+(north_rule), unlike shared-JVM local[k] threads.  The package ships to
+executors as the --py-files zip, exactly like the production launch.
+
+Usage: python BENCH/scaling_cluster.py [n_base_rows] [replicate]
+Compares local-cluster[1,4] vs local-cluster[4,4] on the same input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+from pyspark.sql import SparkSession
+
+n_exec = int(sys.argv[1])
+pages_path, claims_path, pyzip = sys.argv[2], sys.argv[3], sys.argv[4]
+os.makedirs("/dev/shm/spark_local", exist_ok=True)
+spark = (
+    SparkSession.builder.appName(f"scaling-cluster-{n_exec}")
+    .master(f"local-cluster[{n_exec},4,8192]")
+    .config("spark.sql.shuffle.partitions", str(n_exec * 8))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    .config("spark.local.dir", "/dev/shm/spark_local")
+    .config("spark.ui.enabled", "false")
+    .config("spark.submit.pyFiles", pyzip)
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.addPyFile(pyzip)
+from ocr_api_spark.plans.pipeline import extraction_plan
+
+cores = n_exec * 4
+
+def job(out, pages):
+    claims = spark.read.parquet(claims_path)
+    plan = extraction_plan(pages, claims, 32, 8, n_parts=cores * 4)
+    plan.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+warm = tempfile.mkdtemp(prefix="scale_warm_", dir="/dev/shm")
+job(warm + "/x", spark.read.parquet(pages_path).limit(20000))
+shutil.rmtree(warm, ignore_errors=True)
+
+def cpu_stat():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+out = tempfile.mkdtemp(prefix=f"scale_out_{n_exec}_", dir="/dev/shm") + "/extracted"
+tot0, st0 = cpu_stat()
+t0 = time.time()
+job(out, spark.read.parquet(pages_path))
+wall = time.time() - t0
+tot1, st1 = cpu_stat()
+n = spark.read.parquet(out).count()
+shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+print(json.dumps({"executors": n_exec, "rows": n, "wall_s": round(wall, 3),
+                  "docs_per_sec": round(n / wall, 2),
+                  "host_steal_pct": round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from scripts.package import build_zip
+
+    pyzip = build_zip(repo)
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    env = dict(os.environ, SPARK_GRAFT_REPO=repo)
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    big = os.path.join(shm, f"spark_graft_scaling_heavy_{n_base}x{replicate}")
+    if not os.path.exists(os.path.join(big, "_DONE")):
+        raise SystemExit(f"run BENCH/scaling.py once first to build {big}")
+
+    n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    trials: dict[int, list[float]] = {1: [], 4: []}
+    rows = None
+    for _ in range(n_trials):
+        for n_exec in (1, 4):
+            out = subprocess.run(
+                [sys.executable, "-c", WORKER, str(n_exec), f"{big}/pages.parquet", f"{big}/claims.parquet", pyzip],
+                capture_output=True,
+                text=True,
+                env=env,
+                check=True,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            print(line)
+            r = json.loads(line)
+            trials[n_exec].append(r["docs_per_sec"])
+            rows = r["rows"]
+
+    def median(xs):
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+    t1, t4 = median(trials[1]), median(trials[4])
+    print(
+        json.dumps(
+            {
+                "rows": rows,
+                "executors_n": 1,
+                "executors_4n": 4,
+                "cores_each": 4,
+                "n_docs_per_sec_median": t1,
+                "4n_docs_per_sec_median": t4,
+                "all_n": trials[1],
+                "all_4n": trials[4],
+                "scaling_efficiency_n_to_4n": round(t4 / (4 * t1), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
