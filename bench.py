@@ -40,9 +40,9 @@ def _pages_rows_for_sf(sf: float) -> int:
 
 
 def _synth_pages(sf: float, seed: int = 42) -> str:
-    from ocr_api_spark.sources.pages import write_pages
+    from ocr_api_spark.sources.pages import GEN_VERSION, write_pages
 
-    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_pages_sf{sf}_seed{seed}")
+    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_pages_v{GEN_VERSION}_sf{sf}_seed{seed}")
     marker = os.path.join(cache, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(cache, ignore_errors=True)

@@ -28,6 +28,9 @@ from ocr_api_spark.sources.doctexts import FAMILY_DOC_TYPE, GENERATORS, web_page
 
 EPOCH = datetime(2024, 1, 1)
 N_HOSTS = 50
+# bump when generator output changes — cache keys embed it so stale
+# synthetic corpora are never reused across versions
+GEN_VERSION = 2
 DOC_FAMILIES = list(GENERATORS.keys())
 
 
