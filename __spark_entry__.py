@@ -433,6 +433,32 @@ LIMIT 25
 # --- text analysis over documents ------------------------------------------
 
 
+def _salted_source_stats(spark, sf_dir):
+    """Skew-safe two-phase aggregation (SURVEY §4.2(c)): partial agg by
+    (source, salt), final merge by source — result must equal the plain
+    one-phase GROUP BY, which is exactly what the oracle runs."""
+    from ocr_api_spark.plans.skew import salted_host_agg
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    )
+    out = salted_host_agg(
+        docs.withColumnRenamed("source", "host"),
+        [F.count("*").alias("docs"), F.sum("n_chars").alias("total_chars")],
+    )
+    return out.select(
+        F.col("host").alias("source"),
+        F.col("docs").cast("bigint").alias("docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_SALTED_SQL = """
+SELECT source, count(*)::BIGINT AS docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source
+"""
+
+
 def _doc_token_stats(spark, sf_dir):
     from ocr_api_spark.operators.textstats import with_token_count
 
@@ -852,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _events_json_props,
         "doc_line_explode": _doc_line_explode,
         "field_grammar_columns": _field_grammar_columns,
+        "salted_source_stats": _salted_source_stats,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_stopword_ratio": _doc_stopword_ratio,
@@ -890,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": _JSON_SQL,
         "doc_line_explode": _EXPLODE_SQL,
         "field_grammar_columns": _FIELD_GRAMMAR_SQL,
+        "salted_source_stats": _SALTED_SQL,
         "doc_token_stats": _DOC_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_stopword_ratio": _DOC_STOPWORD_SQL,
