@@ -49,7 +49,19 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
-def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
+def with_salt(df: DataFrame, n_salts: int, hot_hosts: list[str] | None = None) -> DataFrame:
+    """Uniform salt by default; when a hot-host list is supplied (from
+    ``plans.skew.hot_hosts``), only those hosts get salted — cold hosts
+    keep salt 0 so their files stay consolidated."""
+    if hot_hosts:
+        from ocr_api_spark.plans.skew import host_col
+
+        salted = F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_salts)).cast("int")
+        hot_arr = F.array(*[F.lit(h) for h in hot_hosts])
+        return df.withColumn(
+            "salt",
+            F.when(F.array_contains(hot_arr, host_col(F.col("url"))), salted).otherwise(F.lit(0)),
+        )
     return df.withColumn("salt", F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_salts)).cast("int"))
 
 
@@ -69,6 +81,7 @@ def extraction_plan(
     n_salts: int,
     n_parts: int | None = None,
     broadcast_claims: bool = True,
+    hot_hosts: list[str] | None = None,
 ) -> DataFrame:
     """Build the logical plan: bucket+salt, repartition the *raw* pages
     (parallelism for the UDF stage + alignment for the bucket-partitioned
@@ -78,7 +91,7 @@ def extraction_plan(
     ``broadcast_claims``: claims are per-url facts; at test scale they
     broadcast, at 10^12 scale disable this and co-bucket both tables so
     the join is shuffle-free."""
-    pages = with_salt(with_bucket(pages, n_buckets), n_salts)
+    pages = with_salt(with_bucket(pages, n_buckets), n_salts, hot_hosts)
     if n_parts:
         pages = pages.repartition(n_parts, "bucket", "salt")
     if claims is not None:
