@@ -51,7 +51,28 @@ def _synth_pages(sf: float, seed: int = 42) -> str:
     return cache
 
 
+_STAT0 = None
+
+
+def _steal_pct() -> float | None:
+    """host steal share since the bench started (shared-VM noise marker
+    — throughput numbers from high-steal windows are not comparable)."""
+    global _STAT0
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        cur = (sum(vals), vals[7] if len(vals) > 7 else 0)
+    except Exception:  # pragma: no cover
+        return None
+    if _STAT0 is None:
+        _STAT0 = cur
+        return None
+    dt, ds = cur[0] - _STAT0[0], cur[1] - _STAT0[1]
+    return round(100.0 * ds / max(dt, 1), 2)
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
+    _steal_pct()  # arm the baseline
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
@@ -159,6 +180,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     total = round(sum(timings.values()), 3)
     result = {
+        "host_steal_pct": _steal_pct(),
         "metric": "extraction+query wall time (headline: docs/sec extraction throughput)",
         "value": total,
         "unit": "sec",

@@ -102,6 +102,42 @@ def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("is_background_white", StringType()),
+        StructField("is_horizontal", StringType()),
+        StructField("needs_rotation", StringType()),
+        StructField("is_straight_line", StringType()),
+    ]
+)
+
+
+def with_signature_verdicts(df: DataFrame, img_col: str = "img") -> DataFrame:
+    """Signature-format classification (reference /api/verify-signature-
+    format, app.py:4895+; kernels I7-I10) over a typed grayscale image
+    column ``array<array<int>>``.  The binary→array decode lives behind
+    the multimodal ``_Decoder`` gate; this operator takes decoded arrays
+    so the geometry path is fully real and hermetically testable."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ocr_api_spark.kernels.signature import classify_signature
+
+    @pandas_udf(SIGNATURE_SCHEMA)
+    def sig_udf(imgs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for img in imgs:
+            if img is None:
+                rows.append({k.name: None for k in SIGNATURE_SCHEMA.fields})
+                continue
+            arr = np.array([list(r) for r in img], dtype=np.uint8)
+            verdict = classify_signature(arr)
+            rows.append({k: str(v) for k, v in verdict.items()})
+        return pd.DataFrame(rows, columns=[f.name for f in SIGNATURE_SCHEMA.fields])
+
+    return df.withColumn("signature", sig_udf(F.col(img_col)))
+
+
 TOKEN_SCHEMA = ArrayType(
     StructType(
         [

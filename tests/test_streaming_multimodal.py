@@ -156,3 +156,19 @@ def test_stream_static_claims_join(session, synth, tmp_path):
     assert len(rows) == 120
     matched = [r for r in rows if r["match"] and r["match"]["average_match_percentage"] is not None]
     assert len(matched) > 0  # claimed doc rows carry match folds in streaming too
+
+
+def test_signature_operator(session):
+    import numpy as np
+
+    from ocr_api_spark.operators.multimodal import with_signature_verdicts
+
+    canvas = np.full((120, 300), 255, dtype=np.uint8)
+    canvas[57:63, 10:290] = 0  # 6px x 280px stroke (expanded aspect > 10)
+    rows = [("sig1", [[int(v) for v in row] for row in canvas])]
+    df = session.createDataFrame(rows, "url string, img array<array<int>>")
+    out = with_signature_verdicts(df).collect()[0]["signature"]
+    assert out["is_background_white"] == "True"
+    assert out["is_horizontal"] == "True"
+    assert out["is_straight_line"] == "True"
+    assert out["needs_rotation"] == "False"
