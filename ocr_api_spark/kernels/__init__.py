@@ -19,5 +19,6 @@ from ocr_api_spark.kernels import (  # noqa: F401
     matching,
     pan,
     passport,
+    signature,
     spans,
 )
