@@ -278,6 +278,55 @@ GROUP BY user_id
 """
 
 
+def _events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → gap flag → running sum = session id → per-user session stats.
+    The streaming analog is session_window; this is the batch form,
+    fully window-expressible so the oracle is exact."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")  # whole seconds (truncated)
+    gap = ts_s - F.lag(ts_s).over(w_user)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(w_user))
+    per_session = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("events"),
+        (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("sessions"),
+        F.max("events").cast("bigint").alias("max_session_events"),
+        F.round(F.avg("dur_s"), 2).alias("avg_session_dur_s"),
+    ).withColumn("user_id", F.col("user_id").cast("bigint"))
+
+
+_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sess_id, count(*) AS events,
+         floor(epoch(max(ts))) - floor(epoch(min(ts))) AS dur_s
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS sessions,
+       max(events)::BIGINT AS max_session_events,
+       round(avg(dur_s), 2)::DOUBLE AS avg_session_dur_s
+FROM per_session GROUP BY user_id
+"""
+
+
 def _q5_nation_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -870,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_parts_per_flag": _distinct_parts_per_flag,
         "events_hourly": _events_hourly,
         "events_user_stats": _events_user_stats,
+        "events_sessions": _events_sessions,
         "q5_nation_revenue": _q5_nation_revenue,
         "rollup_order_priority": _rollup_order_priority,
         "minby_cheapest_part": _minby_cheapest_part,
@@ -909,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_flag": _DISTINCT_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_user_stats": _EVENTS_USER_SQL,
+        "events_sessions": _SESSIONS_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "rollup_order_priority": _ROLLUP_SQL,
         "minby_cheapest_part": _MINBY_SQL,

@@ -1,0 +1,60 @@
+"""Co-bucketed join: the production-scale strategy for the claims join
+(SURVEY §2.7 / pipeline docstring) — both tables bucketed on the join
+key at write time, so the join runs with ZERO shuffle exchanges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def session(tmp_path_factory):
+    from ocr_api_spark.plans.session import build_session
+
+    wh = tmp_path_factory.mktemp("warehouse")
+    return build_session(
+        app_name="bucket-tests",
+        master="local[2]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force non-broadcast
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled": "true",
+        },
+    )
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_cobucketed_join_has_no_shuffle(session, tmp_path):
+    from ocr_api_spark.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path), n_rows=400, seed=21)
+    pages = session.read.parquet(paths["pages"])
+    claims = session.read.parquet(paths["claims"])
+
+    (
+        pages.write.mode("overwrite")
+        .bucketBy(8, "url")
+        .sortBy("url")
+        .saveAsTable("pages_bucketed")
+    )
+    (
+        claims.write.mode("overwrite")
+        .bucketBy(8, "url")
+        .sortBy("url")
+        .saveAsTable("claims_bucketed")
+    )
+
+    joined = session.table("pages_bucketed").join(session.table("claims_bucketed"), "url")
+    plan = explain_str(joined)
+    assert "SortMergeJoin" in plan
+    # co-bucketed scan: no shuffle Exchange anywhere in the join plan
+    assert ") Exchange" not in plan, plan
+
+    # and it is correct
+    n_claims = claims.count()
+    assert joined.count() == n_claims
