@@ -4,7 +4,7 @@
 ``oracle_sql()`` expose every SQL-expressible operator family from
 SURVEY.md §2.7 plus the training-data-pipeline tier (dedup, similarity
 search, text analysis, field grammars) for the DuckDB cross-check at
-sf0.01 — 31 oracle-checked queries, 3 rows-only (kernel extraction and
+sf0.01 — 32 oracle-checked queries, 3 rows-only (kernel extraction and
 xxhash64 simhash have no SQL analog).
 
 Cross-engine discipline (the driver hashes values after sorting columns
