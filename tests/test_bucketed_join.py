@@ -36,16 +36,24 @@ def test_cobucketed_join_has_no_shuffle(session, tmp_path):
     pages = session.read.parquet(paths["pages"])
     claims = session.read.parquet(paths["claims"])
 
+    # getOrCreate() may hand us a pre-existing session whose static
+    # spark.sql.warehouse.dir differs from this module's fixture conf, so
+    # never rely on the warehouse location: give each table an explicit
+    # tmp_path LOCATION and drop any stale catalog entry first.
+    for name in ("pages_bucketed", "claims_bucketed"):
+        session.sql(f"DROP TABLE IF EXISTS {name}")
     (
         pages.write.mode("overwrite")
         .bucketBy(8, "url")
         .sortBy("url")
+        .option("path", str(tmp_path / "pages_bucketed"))
         .saveAsTable("pages_bucketed")
     )
     (
         claims.write.mode("overwrite")
         .bucketBy(8, "url")
         .sortBy("url")
+        .option("path", str(tmp_path / "claims_bucketed"))
         .saveAsTable("claims_bucketed")
     )
 
