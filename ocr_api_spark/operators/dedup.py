@@ -11,11 +11,13 @@
            shingles — quadratic in cluster size, so only ever applied
            to a bounded candidate set (the LSH output or an explicit
            subset), never the full corpus.
-- simhash: 64-bit bit-majority signature via xxhash64, JVM-side
-           (aggregate over bit positions); Hamming-band grouping for
-           near-dup candidates.  xxhash64 has no DuckDB analog → its
-           correctness check is rows-only (the driver records the
-           weaker check; noted in oracle_sql).
+- simhash: 64-bit bit-majority signature from md5(shingle), computed as
+           ONE higher-order `aggregate` over the shingle array — one row
+           per doc, no per-bit explode (a 1,000-shingle doc stays one
+           row instead of 64k), and md5 makes it engine-portable so the
+           driver oracle is an exact DuckDB check.  Hamming bands (four
+           16-bit prefixes of the signature) are the near-dup candidate
+           key.
 """
 
 from __future__ import annotations
@@ -110,19 +112,48 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, n: int, id_col: str = "doc
     )
 
 
+def _hex_digit_bits(h, b):
+    """Bit ``b`` (0..63, MSB-first within each hex digit) of the 16-hex-char
+    string ``h``.  Integer-only arithmetic so the identical formula runs in
+    DuckDB: digit = hex char at b//4, bit = (digit % (2*w)) >= w with
+    w = 2^(3 - b%4)."""
+    digit = F.conv(F.substring(h, (b / 4).cast("int") + 1, 1), 16, 10).cast("int")
+    weight = (
+        F.when(b % 4 == 0, 8).when(b % 4 == 1, 4).when(b % 4 == 2, 2).otherwise(1)
+    )
+    return (digit % (weight * 2) >= weight).cast("int")
+
+
 def simhash64(df: DataFrame, text_col: str, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash: per shingle xxhash64, per bit position a majority
-    vote.  All JVM-side: explode → per-bit contribution ±1 → sum → sign."""
-    sh = word_shingles(df, text_col, n, id_col).withColumn("h", F.xxhash64("shingle"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
-    contrib = sh.select(id_col, "h", bit).withColumn(
-        "vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+    """64-bit SimHash as ONE row per doc, no row blowup: distinct word
+    n-gram shingles → md5 per shingle (once) → per-bit ±1 majority vote
+    folded inside a single higher-order ``aggregate`` over the shingle
+    array.  Ties (vote == 0) resolve to bit 0.
+
+    Output: ``simhash`` is the 64-char '0'/'1' string (MSB first over the
+    md5's first 16 hex chars) and ``band0``..``band3`` are its four
+    16-bit Hamming bands — group on a band to get near-dup candidates.
+    md5 is engine-portable, so the whole signature is DuckDB-oracleable."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.filter(
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))),
+        lambda s: F.length(s) > 0,
     )
-    bits = (
-        contrib.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+    hexes = F.transform(shingles, lambda s: F.substring(F.md5(s), 1, 16))
+    votes = F.aggregate(
+        hexes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(63)), lambda b: _hex_digit_bits(h, b)),
+            lambda a, bit: a + bit * 2 - 1,
+        ),
     )
-    return bits.groupBy(id_col).agg(
-        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit"))).cast("double").alias("simhash_f")
-    ).withColumn("simhash", F.col("simhash_f").cast("decimal(20,0)").cast("string")).drop("simhash_f")
+    bitstr = F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+    out = df.select(id_col, bitstr.alias("simhash"))
+    for i in range(4):
+        out = out.withColumn(f"band{i}", F.substring("simhash", 16 * i + 1, 16))
+    return out

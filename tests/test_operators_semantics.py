@@ -64,8 +64,12 @@ def test_ngram_jaccard_values(session, near_dup_docs):
 def test_simhash_near_dup_proximity(session, near_dup_docs):
     from ocr_api_spark.operators.dedup import simhash64
 
-    out = {r["doc_id"]: int(r["simhash"]) for r in simhash64(near_dup_docs, "text").collect()}
+    rows = simhash64(near_dup_docs, "text").collect()
+    out = {r["doc_id"]: int(r["simhash"], 2) for r in rows}
     assert out[0] == out[1]  # identical text -> identical signature
+    for r in rows:  # bands are the 16-bit slices of the signature
+        assert r["simhash"] == r["band0"] + r["band1"] + r["band2"] + r["band3"]
+        assert len(r["simhash"]) == 64 and set(r["simhash"]) <= {"0", "1"}
 
     def hamming(a, b):
         return bin(a ^ b).count("1")
