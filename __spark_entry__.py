@@ -866,6 +866,72 @@ FROM embeddings GROUP BY label
 """
 
 
+# --- IVF ANN: fixed coarse centroids (the SQL-expressible assignment +
+# probe-restricted re-rank; k-means training is covered in pytest) ----------
+
+# 8 centroids spanning the first 3 dims (±1 per bit of the list index),
+# 0 elsewhere — a deterministic coarse quantizer both engines can evaluate.
+_IVF_CENTROIDS = [
+    [((1.0 if (j >> d) & 1 else -1.0) if d < 3 else 0.0) for d in range(64)] for j in range(8)
+]
+
+
+def _emb_ivf_lists(spark, sf_dir):
+    """IVF assignment (nearest fixed centroid, squared L2, ties to the
+    smallest list) — the inverted-list build step, checked exactly."""
+    from ocr_api_spark.operators.ivf import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        ivf_assign(emb, _IVF_CENTROIDS)
+        .groupBy(F.col("ivf_list").cast("int").alias("ivf_list"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+
+
+def _emb_ivf_topk(spark, sf_dir):
+    """IVF search: exact cosine top-10 restricted to the 2 inverted lists
+    nearest the query (n_probe=2)."""
+    from ocr_api_spark.operators.ivf import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, _IVF_CENTROIDS)
+    return ivf_topk(assigned, _IVF_CENTROIDS, _QUERY_VEC, 10, n_probe=2).withColumn(
+        "vec_id", F.col("vec_id").cast("bigint")
+    )
+
+
+def _ivf_assigned_cte() -> str:
+    cents = ["[" + ", ".join(str(v) for v in c) + "]" for c in _IVF_CENTROIDS]
+    dists = "[" + ", ".join(f"list_distance(embedding::DOUBLE[], {c})" for c in cents) + "]"
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, (list_position(d, list_min(d)) - 1) AS ivf_list
+  FROM (SELECT vec_id, embedding, {dists} AS d FROM embeddings)
+)
+"""
+
+
+def _emb_ivf_lists_sql() -> str:
+    return _ivf_assigned_cte() + """
+SELECT ivf_list::INT AS ivf_list, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY 1
+"""
+
+
+def _emb_ivf_topk_sql() -> str:
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, _QUERY_VEC))
+
+    probe = sorted(range(len(_IVF_CENTROIDS)), key=lambda j: (d2(_IVF_CENTROIDS[j]), j))[:2]
+    qv = ", ".join(str(v) for v in _QUERY_VEC)
+    return _ivf_assigned_cte() + f"""
+SELECT vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], [{qv}]), 3)::DOUBLE AS cosine
+FROM assigned WHERE ivf_list IN ({probe[0]}, {probe[1]})
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 # --- kernel-backed: differential oracle via driver-side expected parquet ----
 
 _EXPECTED_DIR = "/root/repo/dist/oracle_expected"
@@ -1103,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": _doc_minhash_lsh,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_sign_buckets": _emb_sign_buckets,
+        "emb_ivf_lists": _emb_ivf_lists,
+        "emb_ivf_topk": _emb_ivf_topk,
         "emb_label_centroid": _emb_label_centroid_norm,
         "extract_pan_over_documents": _extract_pan_over_documents,
         "extract_all_branches": _extract_all_branches,
@@ -1156,6 +1224,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_spans": _DOC_SPANS_SQL,
         "emb_cosine_topk": _emb_cosine_topk_sql(),
         "emb_sign_buckets": _EMB_BUCKETS_SQL,
+        "emb_ivf_lists": _emb_ivf_lists_sql(),
+        "emb_ivf_topk": _emb_ivf_topk_sql(),
         "emb_label_centroid": _EMB_CENTROID_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,

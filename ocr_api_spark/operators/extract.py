@@ -343,15 +343,14 @@ def fused_extract_udf(
 
     resolved = pd.Series([resolve(t, h) for t, h in zip(texts, htmls)])
     out = extract_batch(resolved, doc_types)
+    # one column→records pass instead of per-row .iloc lookups (which pay
+    # a full row materialization per cell on wide Arrow batches)
+    match_in = out[["pan", "aadhaar", "bank", "financial"]].to_dict("records")
+    statuses = out["status"].tolist()
     out["match"] = match_batch(
         doc_types,
         pd.Series(
-            [
-                {k: out.iloc[i][k] for k in ("pan", "aadhaar", "bank", "financial")}
-                if out.iloc[i]["status"] == "Completed"
-                else None
-                for i in range(len(out))
-            ]
+            [m if s == "Completed" else None for m, s in zip(match_in, statuses)]
         ),
         names,
         father_names,

@@ -17,6 +17,35 @@ from pyspark.sql import functions as F
 from ocr_api_spark.operators.similarity import cosine_topk
 
 
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2), given a
+    FIXED centroid list — the SQL-expressible half of IVF (the driver
+    oracle reproduces it in DuckDB), and the production shape: trained
+    centroids are a small broadcast constant, assignment is a pure
+    JVM-side projection, and ``ivf_list`` becomes the partition/bucket
+    column so probing prunes at the scan.
+
+    Deterministic argmin: ties break to the smallest list index via
+    struct-ordered array_min over (dist, j)."""
+    vec = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(j).alias("j"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("ivf_list", F.array_min(dists)["j"])
+
+
 def build_ivf(df: DataFrame, k: int = 16, vec_col: str = "embedding", seed: int = 42):
     """Returns (assigned_df, centroids) where assigned_df carries an
     ``ivf_list`` column and centroids is a list of k dense vectors."""

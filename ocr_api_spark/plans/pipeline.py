@@ -187,28 +187,46 @@ def run_extraction(
     n_parts = repartition or spark.sparkContext.defaultParallelism * 2
     plan = extraction_plan(pages, claims, n_buckets, n_salts, n_parts=n_parts)
 
+    # Per-bucket metrics ride ON the write job via observe(): 2 conditional
+    # sums per bucket, evaluated map-side during the write pass.  At 100 TB
+    # this matters: the old shape re-read the entire committed output (all
+    # prior runs' buckets included) just to aggregate this run's counts,
+    # doubling the job's I/O.
+    from pyspark.sql import Observation
+
+    obs = Observation("bucket_metrics")
+    metric_exprs = []
+    for b in range(n_buckets):
+        metric_exprs.append(
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"rows_{b}")
+        )
+        metric_exprs.append(
+            F.sum(
+                F.when((F.col("bucket") == b) & (F.col("status") == "Failed"), 1).otherwise(0)
+            ).alias(f"failed_{b}")
+        )
+    plan = plan.observe(obs, *metric_exprs)
+
     out_path = os.path.join(out_dir, "extracted")
     plan.write.mode("append").partitionBy("bucket").parquet(out_path)
 
-    # metrics + lineage from the committed output (exactly what landed);
-    # one job, column-pruned to (bucket, status)
-    written = spark.read.parquet(out_path)
-    if done:
-        written = written.filter(~F.col("bucket").isin(done))
-    stats_pdf = (
-        written.groupBy("bucket")
-        .agg(
-            F.count("*").alias("rows_out"),
-            F.sum(F.when(F.col("status") == "Failed", 1).otherwise(0)).alias("rows_failed"),
+    m = obs.get
+    wall_now = round(time.time() - t0, 3)
+    stats_rows = [
+        (b, int(m[f"rows_{b}"]), int(m[f"failed_{b}"]), wall_now)
+        for b in range(n_buckets)
+        if m.get(f"rows_{b}")
+    ]
+    n_rows = sum(r[1] for r in stats_rows)
+    if stats_rows:
+        stats = spark.createDataFrame(
+            stats_rows, "bucket int, rows_out bigint, rows_failed bigint, wall_s double"
+        ).withColumn("attempt_ts", F.current_timestamp())
+        stats.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        stats.select("bucket").distinct().write.mode("append").parquet(
+            os.path.join(out_dir, "lineage")
         )
-        .toPandas()
-    )
-    stats_pdf["wall_s"] = round(time.time() - t0, 3)
-    stats = spark.createDataFrame(stats_pdf).withColumn("attempt_ts", F.current_timestamp())
-    stats.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
-    stats.select("bucket").distinct().write.mode("append").parquet(os.path.join(out_dir, "lineage"))
 
-    n_rows = int(stats_pdf["rows_out"].sum()) if len(stats_pdf) else 0
     wall = time.time() - t0
     return {
         "rows": n_rows,

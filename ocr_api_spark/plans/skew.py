@@ -32,7 +32,12 @@ def host_col(url: Column) -> Column:
 
 
 def host_frequencies(df: DataFrame, host: Column | str = "host") -> DataFrame:
-    h = host_col(F.col("url")) if host == "__from_url__" else F.col(host) if isinstance(host, str) else host
+    # compare to the sentinel only when host is a str: `col == "..."` builds
+    # a Column, and truthiness-testing a Column raises ValueError
+    if isinstance(host, str):
+        h = host_col(F.col("url")) if host == "__from_url__" else F.col(host)
+    else:
+        h = host
     return df.groupBy(h.alias("host")).agg(F.count("*").alias("n_rows"))
 
 

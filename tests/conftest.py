@@ -21,6 +21,11 @@ import pytest
 
 REFERENCE_APP = "/root/reference/app.py"
 
+# Integrity pin: parity tests exec source lifted from the (untrusted,
+# read-only) reference checkout.  If that file ever changes, skip loudly
+# instead of exec'ing unreviewed code in-process.
+REFERENCE_SHA256 = "01c12b4112f013ad61eacd5fddf63f17277caf7cbc610b40fd5070609dbcaa48"
+
 # Pure functions we lift from the reference for differential testing.
 _PURE_FUNCS = [
     "normalize_dob_format",
@@ -116,6 +121,14 @@ def _load_reference_namespace():
 def reference_ns():
     if not os.path.exists(REFERENCE_APP):
         pytest.skip("reference checkout not available")
+    import hashlib
+
+    digest = hashlib.sha256(open(REFERENCE_APP, "rb").read()).hexdigest()
+    if digest != REFERENCE_SHA256:
+        pytest.skip(
+            f"reference app.py sha256 changed ({digest[:12]}… != pinned "
+            f"{REFERENCE_SHA256[:12]}…) — refusing to exec unpinned source"
+        )
     return _load_reference_namespace()
 
 
