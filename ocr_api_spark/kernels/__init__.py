@@ -15,6 +15,7 @@ from ocr_api_spark.kernels import (  # noqa: F401
     boilerplate,
     common,
     dl,
+    image,
     masking,
     matching,
     pan,

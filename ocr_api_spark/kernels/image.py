@@ -1,0 +1,480 @@
+"""Image-preprocessing kernels (reference I1-I6, I12 + the S10/C5 OSD
+gate) — the pre-OCR chain every live endpoint runs (app.py:5634
+passport, 5784 mask-aadhaar).
+
+The reference uses OpenCV; this container has none, so these are numpy
+re-implementations of the same algorithms with OpenCV's documented
+conventions (the pattern established by ``kernels/signature.py``):
+
+- ``rgb_to_gray`` / ``bgr_to_gray``: cv2's exact fixed-point weights
+  (R2Y=4899, G2Y=9617, B2Y=1868, shift 14).
+- ``resize_cubic``: INTER_CUBIC — separable 4-tap bicubic, A=-0.75,
+  half-pixel-center mapping, replicate border (float64 accumulation
+  where cv2 quantizes weights to 2^-11 fixed point; ≤1 LSB apart).
+- ``gaussian_blur``: cv2.getGaussianKernel semantics — the fixed
+  small-kernel table for sigma<=0 & ksize<=7, the sigma formula
+  otherwise, auto ksize from sigma, REFLECT_101 border.
+- ``adaptive_threshold_gaussian``: ADAPTIVE_THRESH_GAUSSIAN_C with
+  THRESH_BINARY — dst = 255 where src > round(blur) - round(C)
+  (app.py:1774 uses blockSize 11, C 2).
+- ``dilate``: max filter; the reference's np.ones((1,1)) kernel
+  (app.py:1777) makes it the identity, preserved as such.
+- ``clahe``: cv2::CLAHE — per-tile clipped histogram (integer clip
+  limit, excess redistribution with residual stepping), LUT scaled by
+  255/tileArea, bilinear interpolation between tile LUTs, REFLECT_101
+  padding to a tile-grid multiple.
+- ``rotate_image`` / ``correct_rotation``: getRotationMatrix2D +
+  warpAffine with the expanded canvas and white border of
+  app.py:5119-5140; bilinear sampling.
+- ``alpha_flatten``: the transparent-background→white compositing of
+  app.py:5100-5106, formula-exact.
+- ``parse_osd_rotate`` / ``osd_angle_with_retry``: the Tesseract OSD
+  "Rotate:" parse with default-0 fallback (app.py:5102-5116) and the
+  preprocess-retry cascade (app.py:5681-5691).  Parity note: the
+  reference's ``detect_osd_angle`` swallows TesseractError internally
+  and returns 0, so its endpoint-level retry branch is unreachable;
+  the cascade here keeps the interface (``osd_fn`` may raise) and the
+  reference's behavior of continuing downstream with the
+  *preprocessed* image after a failed first attempt.
+
+Chains (exact op order from the reference):
+- ``preprocess_image``  (I1, app.py:1765-1780): RGB→gray → ×1.5 cubic
+  → 3×3 blur → adaptive threshold(11, 2) → 1×1 dilate.
+- ``enhance_contrast_and_sharpen`` (app.py:5382-5396): BGR→gray →
+  CLAHE(2.0, 8×8) → gray→BGR → blur(sigma 1.0) → addWeighted(2, -1).
+- ``preprocess_for_osd`` (app.py:5399-5409): ×2 cubic when h<800 →
+  CLAHE.  The reference applies CLAHE to the *color* image (the
+  grayscale line is commented out), which raises in cv2 — exception
+  parity: ValueError on 3-channel input.
+- ``upscale_image`` (app.py:5412-5415): ×scale cubic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# --- grayscale ---------------------------------------------------------------
+
+_R2Y, _G2Y, _B2Y, _YUV_SHIFT = 4899, 9617, 1868, 14
+
+
+def rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    """cv2.COLOR_RGB2GRAY, fixed-point exact (app.py:1769)."""
+    if img.ndim == 2:
+        return img.astype(np.uint8)
+    r = img[..., 0].astype(np.int64)
+    g = img[..., 1].astype(np.int64)
+    b = img[..., 2].astype(np.int64)
+    half = 1 << (_YUV_SHIFT - 1)
+    return ((r * _R2Y + g * _G2Y + b * _B2Y + half) >> _YUV_SHIFT).astype(np.uint8)
+
+
+def bgr_to_gray(img: np.ndarray) -> np.ndarray:
+    """cv2.COLOR_BGR2GRAY (app.py:5385)."""
+    if img.ndim == 2:
+        return img.astype(np.uint8)
+    return rgb_to_gray(img[..., ::-1])
+
+
+def gray_to_bgr(gray: np.ndarray) -> np.ndarray:
+    """cv2.COLOR_GRAY2BGR — replicate the channel (app.py:5390)."""
+    return np.repeat(gray[..., None], 3, axis=2)
+
+
+# --- INTER_CUBIC resize ------------------------------------------------------
+
+
+def _cubic_weights(t: np.ndarray, A: float = -0.75) -> np.ndarray:
+    """OpenCV's interpolateCubic: 4 taps at offsets -1..2, A=-0.75."""
+    w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A
+    w1 = ((A + 2) * t - (A + 3)) * t * t + 1
+    s = 1 - t
+    w2 = ((A + 2) * s - (A + 3)) * s * s + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return np.stack([w0, w1, w2, w3], axis=1)
+
+
+def _resize_cubic_axis(img: np.ndarray, out_len: int, axis: int) -> np.ndarray:
+    in_len = img.shape[axis]
+    scale = in_len / out_len
+    x = (np.arange(out_len, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    w = _cubic_weights(x - x0)  # (out, 4)
+    idx = np.clip(x0[:, None] + np.arange(-1, 3)[None, :], 0, in_len - 1)  # (out, 4)
+    moved = np.moveaxis(img, axis, 0)  # (in, ...)
+    gathered = moved[idx]  # (out, 4, ...)
+    w_shaped = w.reshape(w.shape + (1,) * (gathered.ndim - 2))
+    out = (gathered * w_shaped).sum(axis=1)
+    return np.moveaxis(out, 0, axis)
+
+
+def resize_cubic(
+    img: np.ndarray,
+    dsize: tuple[int, int] | None = None,
+    fx: float | None = None,
+    fy: float | None = None,
+) -> np.ndarray:
+    """cv2.resize(..., interpolation=INTER_CUBIC).  ``dsize`` is (w, h)
+    like cv2; when None, dims scale by fx/fy with cvRound semantics."""
+    h, w = img.shape[:2]
+    if dsize is not None:
+        out_w, out_h = dsize
+    else:
+        out_w, out_h = int(round(w * fx)), int(round(h * fy))
+    out = img.astype(np.float64)
+    out = _resize_cubic_axis(out, out_h, 0)
+    out = _resize_cubic_axis(out, out_w, 1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# --- Gaussian blur -----------------------------------------------------------
+
+# cv2's fixed kernels for sigma<=0 and ksize<=7 (smoothing tables)
+_SMALL_GAUSSIAN = {
+    1: np.array([1.0]),
+    3: np.array([0.25, 0.5, 0.25]),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625]),
+    7: np.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125]),
+}
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    """cv2.getGaussianKernel for 8U inputs."""
+    if sigma <= 0 and ksize in _SMALL_GAUSSIAN:
+        return _SMALL_GAUSSIAN[ksize]
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _auto_ksize(sigma: float) -> int:
+    # cv2: cvRound(sigma * 3 * 2 + 1) | 1 for 8-bit images
+    return int(round(sigma * 3 * 2 + 1)) | 1
+
+
+def _reflect101_conv(img: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+    pad = len(k) // 2
+    pad_spec = [(0, 0)] * img.ndim
+    pad_spec[axis] = (pad, pad)
+    padded = np.pad(img, pad_spec, mode="reflect")  # numpy reflect == BORDER_REFLECT_101
+    out = np.zeros_like(img, dtype=np.float64)
+    for i, kv in enumerate(k):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + img.shape[axis])
+        out += kv * padded[tuple(sl)]
+    return out
+
+
+def gaussian_blur(
+    img: np.ndarray, ksize: tuple[int, int] = (0, 0), sigma: float = 0.0
+) -> np.ndarray:
+    """cv2.GaussianBlur with BORDER_DEFAULT (REFLECT_101)."""
+    kw, kh = ksize
+    if kw <= 0:
+        kw = _auto_ksize(sigma)
+    if kh <= 0:
+        kh = _auto_ksize(sigma)
+    kx = gaussian_kernel_1d(kw, sigma)
+    ky = gaussian_kernel_1d(kh, sigma)
+    out = _reflect101_conv(img.astype(np.float64), ky, axis=0)
+    out = _reflect101_conv(out, kx, axis=1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# --- adaptive threshold ------------------------------------------------------
+
+
+def adaptive_threshold_gaussian(
+    gray: np.ndarray, max_value: int = 255, block_size: int = 11, C: float = 2.0
+) -> np.ndarray:
+    """cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY)
+    — app.py:1774.  Threshold surface = Gaussian-weighted neighborhood
+    mean (sigma from the sigma<=0 formula) rounded to uint8, minus C."""
+    mean = gaussian_blur(gray, (block_size, block_size), 0.0)
+    return np.where(
+        gray.astype(np.int64) > mean.astype(np.int64) - int(round(C)), max_value, 0
+    ).astype(np.uint8)
+
+
+def dilate(img: np.ndarray, kernel: np.ndarray, iterations: int = 1) -> np.ndarray:
+    """cv2.dilate (max filter over the kernel footprint).  The reference
+    calls it with np.ones((1,1)) — the identity (app.py:1776-1777)."""
+    kh, kw = kernel.shape
+    if kh == 1 and kw == 1:
+        return img.copy()
+    out = img
+    for _ in range(iterations):
+        padded = np.pad(out, ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)), mode="edge")
+        stacked = [
+            padded[i : i + out.shape[0], j : j + out.shape[1]]
+            for i in range(kh)
+            for j in range(kw)
+            if kernel[i, j]
+        ]
+        out = np.maximum.reduce(stacked)
+    return out
+
+
+# --- CLAHE -------------------------------------------------------------------
+
+
+def _clahe_tile_lut(hist: np.ndarray, clip_limit: int, lut_scale: float) -> np.ndarray:
+    hist = hist.astype(np.int64).copy()
+    if clip_limit > 0:
+        over = hist > clip_limit
+        excess = int((hist[over] - clip_limit).sum())
+        hist[over] = clip_limit
+        # cv2: spread excess evenly, then walk the residual in steps
+        batch = excess // 256
+        residual = excess - batch * 256
+        hist += batch
+        if residual:
+            step = max(256 // residual, 1)
+            i = 0
+            while residual > 0:
+                hist[i] += 1
+                residual -= 1
+                i += step
+    cdf = np.cumsum(hist)
+    return np.clip(np.rint(cdf * lut_scale), 0, 255).astype(np.uint8)
+
+
+def clahe(
+    gray: np.ndarray, clip_limit: float = 2.0, tile_grid: tuple[int, int] = (8, 8)
+) -> np.ndarray:
+    """cv2.createCLAHE(clipLimit, tileGridSize).apply — app.py:5387-5388.
+    Grayscale only; cv2 raises on color input and so do we (the
+    ``preprocess_for_osd`` quirk relies on this)."""
+    if gray.ndim != 2:
+        raise ValueError("CLAHE requires a single-channel image (cv2 parity)")
+    tiles_x, tiles_y = tile_grid
+    h, w = gray.shape
+    pad_y = (-h) % tiles_y
+    pad_x = (-w) % tiles_x
+    padded = np.pad(gray, ((0, pad_y), (0, pad_x)), mode="reflect") if (pad_y or pad_x) else gray
+    ph, pw = padded.shape
+    th, tw = ph // tiles_y, pw // tiles_x
+    tile_area = th * tw
+    lut_scale = 255.0 / tile_area
+    clip = max(int(clip_limit * tile_area / 256.0), 1) if clip_limit > 0 else 0
+
+    luts = np.empty((tiles_y, tiles_x, 256), dtype=np.uint8)
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            tile = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            hist = np.bincount(tile.ravel(), minlength=256)
+            luts[ty, tx] = _clahe_tile_lut(hist, clip, lut_scale)
+
+    ys = np.arange(ph, dtype=np.float64)
+    xs = np.arange(pw, dtype=np.float64)
+    tyf = ys / th - 0.5
+    txf = xs / tw - 0.5
+    ty1 = np.floor(tyf).astype(np.int64)
+    tx1 = np.floor(txf).astype(np.int64)
+    ya = (tyf - ty1)[:, None]
+    xa = (txf - tx1)[None, :]
+    ty1c = np.clip(ty1, 0, tiles_y - 1)
+    ty2c = np.clip(ty1 + 1, 0, tiles_y - 1)
+    tx1c = np.clip(tx1, 0, tiles_x - 1)
+    tx2c = np.clip(tx1 + 1, 0, tiles_x - 1)
+
+    v = padded.astype(np.int64)
+    tl = luts[ty1c[:, None], tx1c[None, :], v].astype(np.float64)
+    tr = luts[ty1c[:, None], tx2c[None, :], v].astype(np.float64)
+    bl = luts[ty2c[:, None], tx1c[None, :], v].astype(np.float64)
+    br = luts[ty2c[:, None], tx2c[None, :], v].astype(np.float64)
+    out = (tl * (1 - xa) + tr * xa) * (1 - ya) + (bl * (1 - xa) + br * xa) * ya
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
+# --- rotation ----------------------------------------------------------------
+
+
+def get_rotation_matrix_2d(center: tuple[float, float], angle: float, scale: float) -> np.ndarray:
+    """cv2.getRotationMatrix2D (positive angle = counter-clockwise)."""
+    a = math.radians(angle)
+    alpha = scale * math.cos(a)
+    beta = scale * math.sin(a)
+    cx, cy = center
+    return np.array(
+        [
+            [alpha, beta, (1 - alpha) * cx - beta * cy],
+            [-beta, alpha, beta * cx + (1 - alpha) * cy],
+        ],
+        dtype=np.float64,
+    )
+
+
+def warp_affine(
+    img: np.ndarray,
+    M: np.ndarray,
+    dsize: tuple[int, int],
+    border_value: float | tuple = 255,
+) -> np.ndarray:
+    """cv2.warpAffine, INTER_LINEAR, BORDER_CONSTANT.  ``M`` maps src→dst
+    (cv2 convention); sampling inverts it."""
+    out_w, out_h = dsize
+    full = np.vstack([M, [0.0, 0.0, 1.0]])
+    inv = np.linalg.inv(full)
+    ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+
+    h, w = img.shape[:2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+
+    imgf = img.astype(np.float64)
+    if imgf.ndim == 2:
+        imgf = imgf[..., None]
+    channels = imgf.shape[2]
+    if np.isscalar(border_value):
+        border = np.full(channels, float(border_value))
+    else:
+        border = np.asarray(border_value, dtype=np.float64)[:channels]
+
+    def sample(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = np.clip(yi, 0, h - 1)
+        xc = np.clip(xi, 0, w - 1)
+        px = imgf[yc, xc]  # (out_h, out_w, C)
+        px[~valid] = border
+        return px
+
+    p00 = sample(y0, x0)
+    p01 = sample(y0, x0 + 1)
+    p10 = sample(y0 + 1, x0)
+    p11 = sample(y0 + 1, x0 + 1)
+    fxc = fx[..., None]
+    fyc = fy[..., None]
+    out = (p00 * (1 - fxc) + p01 * fxc) * (1 - fyc) + (p10 * (1 - fxc) + p11 * fxc) * fyc
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[..., 0] if img.ndim == 2 else out
+
+
+def rotate_image(img: np.ndarray, angle: float) -> np.ndarray:
+    """app.py:5119-5133 — rotate about the integer center, expand the
+    canvas to fit, fill with white."""
+    h, w = img.shape[:2]
+    center = (w // 2, h // 2)
+    rot_mat = get_rotation_matrix_2d(center, angle, 1.0)
+    cos = abs(rot_mat[0, 0])
+    sin = abs(rot_mat[0, 1])
+    new_w = int(h * sin + w * cos)
+    new_h = int(h * cos + w * sin)
+    rot_mat[0, 2] += new_w / 2 - center[0]
+    rot_mat[1, 2] += new_h / 2 - center[1]
+    return warp_affine(img, rot_mat, (new_w, new_h), border_value=(255, 255, 255))
+
+
+def correct_rotation(img: np.ndarray, angle: float) -> np.ndarray:
+    """app.py:5136-5140 — undo the OSD-detected angle."""
+    if angle == 0:
+        return img
+    return rotate_image(img, -angle)
+
+
+# --- alpha flatten (I12) ------------------------------------------------------
+
+
+def alpha_flatten(img: np.ndarray) -> np.ndarray:
+    """app.py:5100-5106 — composite a BGRA image over white, exact
+    formula port (float blend, truncating uint8 cast like the
+    reference's .astype(np.uint8))."""
+    if img.ndim != 3 or img.shape[-1] != 4:
+        return img
+    alpha_channel = img[:, :, 3]
+    rgb_channels = img[:, :, :3]
+    white_background = np.ones_like(rgb_channels, dtype=np.uint8) * 255
+    alpha_factor = alpha_channel[:, :, np.newaxis] / 255.0
+    return (rgb_channels * alpha_factor + white_background * (1 - alpha_factor)).astype(np.uint8)
+
+
+# --- OSD gate (S10/C5) --------------------------------------------------------
+
+
+class OsdError(Exception):
+    """Stands in for pytesseract.TesseractError in the retry cascade."""
+
+
+def parse_osd_rotate(osd_output: str | None) -> int:
+    """app.py:5102-5116 — find the "Rotate:" line, parse the angle,
+    default 0 on anything unexpected."""
+    if not osd_output:
+        return 0
+    try:
+        for line in osd_output.split("\n"):
+            if "Rotate" in line:
+                return int(line.split(":")[-1].strip())
+    except Exception:
+        pass
+    return 0
+
+
+def osd_angle_with_retry(img: np.ndarray, osd_fn) -> tuple[np.ndarray, int]:
+    """app.py:5681-5691 — the preprocess-retry-default-0 cascade.
+    ``osd_fn(img) -> str`` produces the OSD text (a Tesseract subprocess
+    in production; injectable here).  Returns (image, angle): after a
+    failed first attempt the *preprocessed* image flows downstream,
+    exactly like the reference reassigns ``img_front``.
+
+    Parity note: the reference's detect_osd_angle swallows
+    TesseractError and returns 0, making its endpoint retry branch
+    unreachable; this keeps the cascade for osd_fn implementations that
+    do raise (OsdError)."""
+    angle = 0
+    try:
+        angle = parse_osd_rotate(osd_fn(img))
+    except OsdError:
+        img = preprocess_for_osd(img)
+        try:
+            angle = parse_osd_rotate(osd_fn(img))
+        except OsdError:
+            pass
+    return img, angle
+
+
+# --- chains -------------------------------------------------------------------
+
+
+def preprocess_image(img_rgb: np.ndarray) -> np.ndarray:
+    """app.py:1765-1780 — the PAN pre-OCR chain."""
+    img = rgb_to_gray(img_rgb)
+    img = resize_cubic(img, fx=1.5, fy=1.5)
+    img = gaussian_blur(img, (3, 3), 0)
+    img = adaptive_threshold_gaussian(img, 255, 11, 2)
+    return dilate(img, np.ones((1, 1), np.uint8), iterations=1)
+
+
+def enhance_contrast_and_sharpen(img_bgr: np.ndarray) -> np.ndarray:
+    """app.py:5382-5396 — CLAHE contrast + unsharp mask
+    (addWeighted(contrast, 2.0, blurred, -1.0, 0))."""
+    gray = bgr_to_gray(img_bgr)
+    contrast = clahe(gray, 2.0, (8, 8))
+    contrast_bgr = gray_to_bgr(contrast)
+    blurred = gaussian_blur(contrast_bgr, (0, 0), sigma=1.0)
+    sharpened = contrast_bgr.astype(np.float64) * 2.0 + blurred.astype(np.float64) * -1.0
+    return np.clip(np.rint(sharpened), 0, 255).astype(np.uint8)
+
+
+def preprocess_for_osd(img: np.ndarray) -> np.ndarray:
+    """app.py:5399-5409 — ×2 upscale for small scans, then CLAHE.  The
+    reference passes the (possibly color) image straight to CLAHE; on
+    3-channel input that raises — exception parity via ``clahe``."""
+    h, w = img.shape[:2]
+    if h < 800:
+        img = resize_cubic(img, dsize=(w * 2, h * 2))
+    return clahe(img, 2.0, (8, 8))
+
+
+def upscale_image(img: np.ndarray, scale: float = 2.0) -> np.ndarray:
+    """app.py:5412-5415."""
+    h, w = img.shape[:2]
+    return resize_cubic(img, dsize=(int(w * scale), int(h * scale)))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -45,9 +46,18 @@ FEATURE_SCHEMA = StructType(
 
 class _Decoder:
     """Per-executor singleton (the reference reconstructs its OCR model
-    per request, app.py:2163 — this is the fix).  Real decoders (cv2,
-    pdfium) plug in here; the container lacks them, so decode() yields a
-    deterministic fake feature derived from the payload bytes."""
+    per request, app.py:2163 — this is the fix).
+
+    Backends, in order:
+    - ``numpy``: payloads that parse as ``.npy`` arrays (H×W or H×W×C
+      uint8) run the REAL preprocessing kernels (``kernels/image.py``:
+      alpha flatten → grayscale → the PAN pre-OCR chain) and emit real
+      image statistics as the feature vector.  JPEG/PNG entropy codecs
+      need cv2/PIL which this container lacks, so .npy is the decoded-
+      pixel interchange format.
+    - ``fake``: anything else yields a deterministic md5-derived
+      feature, so opaque test payloads still flow through the same
+      batch shape."""
 
     _instance = None
 
@@ -61,15 +71,51 @@ class _Decoder:
         try:  # pragma: no cover - not present in this container
             import cv2  # noqa: F401
 
-            self.backend = "cv2"
+            self.has_cv2 = True
         except ImportError:
-            self.backend = "fake"
+            self.has_cv2 = False
+
+    @staticmethod
+    def _try_npy(payload: bytes):
+        import io
+
+        import numpy as np
+
+        if payload is None or not payload.startswith(b"\x93NUMPY"):
+            return None
+        try:
+            arr = np.load(io.BytesIO(payload), allow_pickle=False)
+        except Exception:
+            return None
+        if arr.ndim not in (2, 3) or arr.dtype != np.uint8 or arr.size == 0:
+            return None
+        return arr
 
     def decode(self, payload: bytes) -> tuple[list[float], str]:
         if payload is None:
             return [], "empty"
-        if self.backend == "cv2":  # pragma: no cover
-            raise NotImplementedError("real image decode wired when cv2 is available")
+        arr = self._try_npy(payload)
+        if arr is not None:
+            import numpy as np
+
+            from ocr_api_spark.kernels import image as im
+            from ocr_api_spark.kernels.signature import otsu_threshold
+
+            arr = im.alpha_flatten(arr)  # I12: BGRA -> white-composited BGR
+            gray = im.rgb_to_gray(arr)
+            binary = im.preprocess_image(arr if arr.ndim == 3 else np.repeat(arr[..., None], 3, 2))
+            h, w = gray.shape
+            feature = [
+                float(h),
+                float(w),
+                float(arr.shape[2] if arr.ndim == 3 else 1),
+                float(gray.mean()),
+                float(gray.std()),
+                float((binary == 0).mean()),  # foreground (ink) ratio
+                1.0 if float(gray[:2].mean()) > 200 else 0.0,  # light top border
+                float(otsu_threshold(gray)),
+            ]
+            return feature, "numpy"
         # deterministic 8-dim fake feature: md5 bytes scaled to [0, 1)
         digest = hashlib.md5(payload).digest()
         return [b / 255.0 for b in digest[:8]], "fake"
@@ -100,6 +146,77 @@ def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+PREOCR_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("osd_angle", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("chain_status", StringType(), True),
+        StructField("processed", BinaryType(), True),
+    ]
+)
+
+
+def preocr_chain(df: DataFrame, payload_col: str = "payload", osd_fn=None) -> DataFrame:
+    """The passport/DL pre-OCR chain (reference app.py:5681-5695, the E4
+    lifecycle): OSD angle detect with the preprocess-retry cascade
+    (S10/C5) → ``correct_rotation`` (I5) → ``upscale_image`` ×2 (I2) →
+    ``enhance_contrast_and_sharpen`` (I6 CLAHE + unsharp).  All REAL
+    numpy kernels over ``.npy`` image payloads; undecodable payloads
+    pass through with ``chain_status='undecodable'``.
+
+    ``osd_fn(img) -> str`` is the injectable OSD text source (a
+    Tesseract subprocess in production).  Default None reproduces
+    ``detect_osd_angle``'s default-0 fallback when Tesseract is absent.
+    Per-executor decode state goes through the ``_Decoder`` singleton;
+    the output image travels as ``.npy`` bytes, one Arrow crossing in,
+    one out."""
+    import io
+
+    import numpy as np
+
+    from ocr_api_spark.kernels import image as im
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = osd_fn if osd_fn is not None else (lambda _img: None)
+        for pdf in batches:
+            out = {k: [] for k in ("url", "osd_angle", "out_h", "out_w", "chain_status", "processed")}
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                out["url"].append(url)
+                arr = _Decoder._try_npy(payload)
+                if arr is None:
+                    out["osd_angle"].append(None)
+                    out["out_h"].append(None)
+                    out["out_w"].append(None)
+                    out["chain_status"].append("undecodable")
+                    out["processed"].append(None)
+                    continue
+                arr = im.alpha_flatten(arr)
+                # full retry cascade for grayscale; for color the retry's
+                # preprocess_for_osd would raise (the reference's CLAHE-on-
+                # color quirk), so color gets the parse-with-default-0 path
+                if arr.ndim == 2:
+                    img, angle = im.osd_angle_with_retry(arr, fn)
+                else:
+                    img, angle = arr, im.parse_osd_rotate(fn(arr))
+                img = im.correct_rotation(img, angle)
+                img = im.upscale_image(img, 2.0)
+                img = im.enhance_contrast_and_sharpen(
+                    img if img.ndim == 3 else np.repeat(img[..., None], 3, 2)
+                )
+                buf = io.BytesIO()
+                np.save(buf, img, allow_pickle=False)
+                out["osd_angle"].append(angle)
+                out["out_h"].append(int(img.shape[0]))
+                out["out_w"].append(int(img.shape[1]))
+                out["chain_status"].append("ok")
+                out["processed"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, PREOCR_SCHEMA)
 
 
 SIGNATURE_SCHEMA = StructType(

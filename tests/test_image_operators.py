@@ -1,0 +1,120 @@
+"""Spark-side image-branch tests: the numpy decode backend in
+``_Decoder`` and the full pre-OCR chain operator (S10/C5 + I1-I6 wired
+behind ``mapInPandas``), driven with real ``.npy`` image payloads."""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def session():
+    from ocr_api_spark.plans.session import build_session
+
+    return build_session(app_name="image-op-tests", master="local[4]", shuffle_partitions=4)
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def payload_df(session):
+    rng = np.random.default_rng(13)
+    rows = [
+        ("u1", _npy_bytes(rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)), "image"),
+        ("u2", _npy_bytes(rng.integers(0, 256, (30, 50), dtype=np.uint8)), "image"),
+        ("u3", _npy_bytes(rng.integers(0, 256, (10, 10, 4), dtype=np.uint8)), "image"),
+        ("u4", b"\x00opaque-not-npy", "image"),
+        ("u5", None, "image"),
+    ]
+    return session.createDataFrame(rows, "url string, payload binary, payload_kind string")
+
+
+def test_image_features_numpy_backend(session, payload_df):
+    from ocr_api_spark.operators.multimodal import image_features
+
+    out = {r["url"]: r for r in image_features(payload_df).collect()}
+    assert out["u1"]["decode_status"] == "numpy"
+    assert out["u2"]["decode_status"] == "numpy"
+    assert out["u3"]["decode_status"] == "numpy"  # BGRA -> alpha-flattened
+    assert out["u4"]["decode_status"] == "fake"
+    assert out["u5"]["decode_status"] == "empty"
+    # real stats: (h, w, channels, mean, std, ink_ratio, light_top, otsu)
+    f1 = out["u1"]["feature"]
+    assert f1[0] == 40.0 and f1[1] == 60.0 and f1[2] == 3.0
+    assert 0.0 < f1[3] < 255.0 and 0.0 <= f1[5] <= 1.0
+    f3 = out["u3"]["feature"]
+    assert f3[2] == 3.0  # alpha flattened to 3 channels
+
+
+def test_image_features_deterministic(session, payload_df):
+    from ocr_api_spark.operators.multimodal import image_features
+
+    a = sorted(map(tuple, image_features(payload_df).collect()))
+    b = sorted(map(tuple, image_features(payload_df).collect()))
+    assert a == b
+
+
+def test_preocr_chain_angles_and_shapes(session, payload_df):
+    from ocr_api_spark.operators.multimodal import preocr_chain
+
+    # OSD stub: claims everything is rotated 90°
+    out = {r["url"]: r for r in preocr_chain(payload_df, osd_fn=lambda _: "Rotate: 90").collect()}
+
+    r1 = out["u1"]  # 40×60 color -> parse-only path, rotate -90, ×2
+    assert r1["chain_status"] == "ok" and r1["osd_angle"] == 90
+    assert (r1["out_h"], r1["out_w"]) == (120, 80)  # swapped by rotation, then ×2
+
+    r2 = out["u2"]  # 30×50 gray -> retry-capable path
+    assert r2["osd_angle"] == 90 and (r2["out_h"], r2["out_w"]) == (100, 60)
+
+    assert out["u4"]["chain_status"] == "undecodable"
+    assert out["u5"]["chain_status"] == "undecodable"
+
+    # processed payload round-trips as .npy and is the enhanced 3-channel image
+    arr = np.load(io.BytesIO(r1["processed"]), allow_pickle=False)
+    assert arr.shape == (120, 80, 3) and arr.dtype == np.uint8
+
+
+def test_preocr_chain_default_angle_zero(session, payload_df):
+    from ocr_api_spark.operators.multimodal import preocr_chain
+
+    out = {r["url"]: r for r in preocr_chain(payload_df).collect()}
+    assert out["u1"]["osd_angle"] == 0
+    assert (out["u1"]["out_h"], out["u1"]["out_w"]) == (80, 120)  # no rotation, ×2
+
+
+def test_preocr_chain_retry_uses_preprocessed_image(session):
+    """A flaky OSD source on a grayscale payload triggers the
+    preprocess-retry cascade; the upscaled-by-retry image flows on
+    (reference app.py:5681-5691 reassigns img_front)."""
+    from ocr_api_spark.operators.multimodal import preocr_chain
+    from ocr_api_spark.plans.session import build_session
+
+    session = build_session(app_name="image-op-tests", master="local[4]", shuffle_partitions=4)
+    rng = np.random.default_rng(5)
+    df = session.createDataFrame(
+        [("g1", _npy_bytes(rng.integers(0, 256, (20, 30), dtype=np.uint8)), "image")],
+        "url string, payload binary, payload_kind string",
+    )
+
+    class Flaky:
+        """Raise on the first call per image size (pre-retry), succeed after."""
+
+        def __call__(self, img):
+            from ocr_api_spark.kernels.image import OsdError
+
+            if img.shape[0] < 40:  # original 20×30 -> fail; preprocessed 40×60 -> ok
+                raise OsdError("low-res")
+            return "Rotate: 180"
+
+    row = preocr_chain(df, osd_fn=Flaky()).collect()[0]
+    assert row["osd_angle"] == 180
+    # preprocess_for_osd doubled 20×30 to 40×60; 180° keeps dims; ×2 -> 80×120
+    assert (row["out_h"], row["out_w"]) == (80, 120)
