@@ -204,20 +204,33 @@ def extract_udf(texts: pd.Series, doc_types: pd.Series) -> pd.DataFrame:
     return extract_batch(texts, doc_types)
 
 
+def _payload_to_text(payload) -> str | None:
+    """Binary payload → text: the S4 PDF text layer for ``%PDF`` payloads
+    (per-page extract_text + clean_text, app.py:3202-3212 with the §0.1
+    last-def clean_text), HTML boilerplate extraction otherwise."""
+    if payload is None:
+        return None
+    if isinstance(payload, (bytes, bytearray)):
+        raw = bytes(payload)
+        if raw.startswith(b"%PDF"):
+            from ocr_api_spark.kernels.common import clean_text
+            from ocr_api_spark.sources.pdftext import MiniPdfError, pdf_text
+
+            try:
+                return clean_text(pdf_text(raw))
+            except MiniPdfError:
+                return None  # undecodable here -> C4 sends it to the OCR branch
+        payload = raw.decode("utf-8", errors="replace")
+    return boilerplate.extract_main_text(payload)
+
+
 @pandas_udf(StringType())
 def boilerplate_udf(htmls: pd.Series) -> pd.Series:
-    """binary HTML → main-content text.  Null-propagating, so wiring it
+    """binary payload → main-content text (HTML boilerplate strip, or the
+    PDF text layer for %PDF payloads).  Null-propagating, so wiring it
     as ``coalesce(nullif(text, ''), boilerplate_udf(when(text='', html)))``
     only pays the parse for rows that need it."""
-
-    def one(h):
-        if h is None:
-            return None
-        if isinstance(h, (bytes, bytearray)):
-            h = bytes(h).decode("utf-8", errors="replace")
-        return boilerplate.extract_main_text(h)
-
-    return htmls.map(one)
+    return htmls.map(_payload_to_text)
 
 
 def match_batch(
@@ -335,11 +348,7 @@ def fused_extract_udf(
     def resolve(text, html):
         if text:
             return text
-        if html is None:
-            return None
-        if isinstance(html, (bytes, bytearray)):
-            html = bytes(html).decode("utf-8", errors="replace")
-        return boilerplate.extract_main_text(html)
+        return _payload_to_text(html)
 
     resolved = pd.Series([resolve(t, h) for t, h in zip(texts, htmls)])
     out = extract_batch(resolved, doc_types)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     MapType,
     StringType,
     StructField,
@@ -61,6 +62,53 @@ def template_fold_udf(clips_json: pd.Series, felds_json: pd.Series) -> pd.DataFr
             }
         )
     return pd.DataFrame(rows, columns=["ocrdata", "matching_results", "average_match_percentage"])
+
+
+CLIPS_SCHEMA = StructType(
+    [
+        StructField("document_id", StringType(), True),
+        StructField("page", IntegerType(), True),
+        StructField("field", StringType(), True),
+        StructField("clip_text", StringType(), True),
+    ]
+)
+
+
+def pdf_clips(pdfs: DataFrame, templates: DataFrame) -> DataFrame:
+    """Real S5: clip each template rect out of actual PDF bytes.
+
+    pdfs(document_id, pdf binary) ⋈ broadcast templates(document_id,
+    page, field, x, y, width, height) → (document_id, page, field,
+    clip_text), the same schema the pre-clipped ``clips`` table uses —
+    ``template_extraction`` consumes either.
+
+    Shape for scale: group by document so each PDF is parsed ONCE per
+    doc (not once per field); templates broadcast; output is the E3
+    bbox clip with the reference's exact padding + retry
+    (app.py:3926-3941 via ``sources.pdftext.clip_text``)."""
+
+    def clip_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ocr_api_spark.sources.pdftext import MiniPdfError, clip_text, parse_pdf
+
+        raw = pdf["pdf"].iloc[0]
+        try:
+            pages = parse_pdf(bytes(raw)) if raw is not None else []
+        except MiniPdfError:
+            pages = []
+        rows = []
+        for _, r in pdf.iterrows():
+            page_no = int(r["page"])
+            text = None
+            if 1 <= page_no <= len(pages):
+                # reference indexes pdf.pages[int(page)-1] (app.py:3926)
+                text = clip_text(
+                    pages[page_no - 1], float(r["x"]), float(r["y"]), float(r["width"]), float(r["height"])
+                )
+            rows.append((r["document_id"], page_no, r["field"], text))
+        return pd.DataFrame(rows, columns=["document_id", "page", "field", "clip_text"])
+
+    joined = F.broadcast(templates).join(pdfs, "document_id")
+    return joined.groupBy("document_id").applyInPandas(clip_group, CLIPS_SCHEMA)
 
 
 def template_extraction(docs: DataFrame, templates: DataFrame, clips: DataFrame) -> DataFrame:

@@ -1,0 +1,335 @@
+"""Minimal uncompressed-PDF text layer (the S4/S5 stand-in for
+pdfplumber, which is absent from this container).
+
+The reference reads PDFs two ways:
+- E1 (app.py:3199-3212): per-page ``page.extract_text()`` concatenated
+  with a trailing newline per page, OCR fallback when empty;
+- E3 (app.py:3926-3941): ``page.within_bbox((x, y-10, x+w+7,
+  y+h-15)).extract_text()`` with a wider retry box ``(x, y-10, x+w+50,
+  y+h-5)`` when the first clip is empty.
+
+This module implements those two surfaces over *uncompressed* PDF
+content streams (PDF 1.4, no /Filter): BT/ET text objects, Tf sizing,
+Td/TD/Tm/T*/TL positioning, Tj/TJ/' show ops, literal and hex strings.
+Compressed streams raise ``MiniPdfError`` — entropy decoding is the
+documented environment gate, exactly like image codecs in the
+multimodal branch.  ``write_minimal_pdf`` emits the same subset, so
+fixtures round-trip bit-deterministically.
+
+Geometry conventions (pdfplumber-compatible): bboxes are (x0, top, x1,
+bottom) with ``top`` measured DOWN from the page top; PDF device space
+is bottom-up, so top = page_height - y.  A show op becomes a word box
+of height ``size`` and width ``0.5 * size * len(text)`` (fixed-advance
+approximation — the writer and parser share it, making within_bbox
+exact for generated fixtures).  ``within_bbox`` keeps words fully
+inside the box (pdfplumber strict semantics); ``extract_text`` orders
+lines top-down, words left-to-right, single-space joined.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+class MiniPdfError(Exception):
+    pass
+
+
+CHAR_WIDTH_FACTOR = 0.5  # fixed-advance width approximation per glyph
+
+
+@dataclass
+class Span:
+    x0: float
+    top: float
+    size: float
+    text: str
+
+    @property
+    def x1(self) -> float:
+        return self.x0 + CHAR_WIDTH_FACTOR * self.size * len(self.text)
+
+    @property
+    def bottom(self) -> float:
+        return self.top + self.size
+
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
+    """data[i] == '(' — parse a PDF literal string, return (text, next_i)."""
+    out = []
+    depth = 1
+    i += 1
+    while i < len(data) and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                oct_digits = b""
+                while j < len(data) and len(oct_digits) < 3 and data[j : j + 1].isdigit():
+                    oct_digits += data[j : j + 1]
+                    j += 1
+                out.append(chr(int(oct_digits, 8)))
+                i = j
+                continue
+            out.append(_ESCAPES.get(nxt, nxt.decode("latin-1")))
+            i += 2
+            continue
+        if c == b"(":
+            depth += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out), i
+
+
+_TOKEN_RE = re.compile(
+    rb"(\()|(<[0-9A-Fa-f\s]*>)|(/[^\s/\[\]()<>]+)|(\[)|(\])|(-?\d*\.?\d+)|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|')"
+)
+
+
+def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
+    """Walk one content stream, emitting a Span per show op."""
+    spans: list[Span] = []
+    size = 12.0
+    leading = 0.0
+    line_x = line_y = 0.0  # text line matrix origin
+    x = y = 0.0  # current text position
+    stack: list = []  # operand stack (numbers / strings / arrays)
+    in_text = False
+    in_array: list | None = None
+
+    def show(text: str) -> None:
+        if text:
+            spans.append(Span(x0=x, top=page_height - y, size=size, text=text))
+
+    i = 0
+    while i < len(stream):
+        m = _TOKEN_RE.search(stream, i)
+        if not m:
+            break
+        i = m.end()
+        if m.group(1):  # literal string
+            text, i = _read_literal_string(stream, m.start())
+            (in_array if in_array is not None else stack).append(text)
+        elif m.group(2):  # hex string
+            hx = re.sub(rb"\s", b"", m.group(2)[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            text = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            (in_array if in_array is not None else stack).append(text)
+        elif m.group(3):  # name (e.g. /F1) — operand, keep as marker
+            stack.append(m.group(3).decode("latin-1"))
+        elif m.group(4):  # [
+            in_array = []
+        elif m.group(5):  # ]
+            stack.append(in_array or [])
+            in_array = None
+        elif m.group(6):  # number
+            (in_array if in_array is not None else stack).append(float(m.group(6)))
+        else:
+            op = m.group(7)
+            if op == b"BT":
+                in_text = True
+                line_x = line_y = x = y = 0.0
+                stack.clear()
+            elif op == b"ET":
+                in_text = False
+                stack.clear()
+            elif not in_text:
+                stack.clear()
+            elif op == b"Tf":
+                size = float(stack[-1]) if stack else size
+                stack.clear()
+            elif op == b"TL":
+                leading = float(stack[-1]) if stack else leading
+                stack.clear()
+            elif op in (b"Td", b"TD"):
+                if len(stack) >= 2:
+                    tx, ty = float(stack[-2]), float(stack[-1])
+                    if op == b"TD":
+                        leading = -ty
+                    line_x += tx
+                    line_y += ty
+                    x, y = line_x, line_y
+                stack.clear()
+            elif op == b"Tm":
+                if len(stack) >= 6:
+                    line_x, line_y = float(stack[-2]), float(stack[-1])
+                    x, y = line_x, line_y
+                stack.clear()
+            elif op == b"T*":
+                line_y -= leading
+                x, y = line_x, line_y
+                stack.clear()
+            elif op == b"Tj":
+                if stack and isinstance(stack[-1], str):
+                    show(stack[-1])
+                    x += CHAR_WIDTH_FACTOR * size * len(stack[-1])
+                stack.clear()
+            elif op == b"'":
+                line_y -= leading
+                x, y = line_x, line_y
+                if stack and isinstance(stack[-1], str):
+                    show(stack[-1])
+                    x += CHAR_WIDTH_FACTOR * size * len(stack[-1])
+                stack.clear()
+            elif op == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    for item in stack[-1]:
+                        if isinstance(item, str):
+                            show(item)
+                            x += CHAR_WIDTH_FACTOR * size * len(item)
+                        else:  # kerning adjustment, thousandths of size
+                            x -= float(item) / 1000.0 * size
+                stack.clear()
+    return spans
+
+
+class PdfPage:
+    """pdfplumber-shaped page: ``extract_text`` + ``within_bbox``."""
+
+    def __init__(self, spans: list[Span], width: float, height: float):
+        self.spans = spans
+        self.width = width
+        self.height = height
+
+    def within_bbox(self, bbox: tuple[float, float, float, float]) -> "PdfPage":
+        x0, top, x1, bottom = bbox
+        kept = [
+            s
+            for s in self.spans
+            if s.x0 >= x0 and s.x1 <= x1 and s.top >= top and s.bottom <= bottom
+        ]
+        return PdfPage(kept, self.width, self.height)
+
+    def extract_text(self) -> str | None:
+        if not self.spans:
+            return None
+        lines: dict[float, list[Span]] = {}
+        for s in self.spans:
+            key = round(s.top, 1)
+            lines.setdefault(key, []).append(s)
+        out = []
+        for top in sorted(lines):
+            words = sorted(lines[top], key=lambda s: s.x0)
+            out.append(" ".join(w.text for w in words))
+        return "\n".join(out)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s*\]")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+
+
+def parse_pdf(data: bytes) -> list[PdfPage]:
+    """All pages of an uncompressed PDF, document order."""
+    if not data.startswith(b"%PDF"):
+        raise MiniPdfError("not a PDF payload")
+    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    pages = []
+    for num in sorted(objects):
+        body = objects[num]
+        if b"/Type" not in body or b"/Page" not in body or b"/Pages" in body:
+            continue
+        mb = _MEDIABOX_RE.search(body)
+        width, height = (float(mb.group(3)), float(mb.group(4))) if mb else (612.0, 792.0)
+        cm = _CONTENTS_RE.search(body)
+        spans: list[Span] = []
+        if cm and int(cm.group(1)) in objects:
+            content_obj = objects[int(cm.group(1))]
+            if b"/Filter" in content_obj:
+                raise MiniPdfError("compressed content streams unsupported (no entropy codecs here)")
+            sm = _STREAM_RE.search(content_obj)
+            if sm:
+                spans = _tokenize_spans(sm.group(1), height)
+        pages.append(PdfPage(spans, width, height))
+    return pages
+
+
+def pdf_text(data: bytes) -> str:
+    """E1 shape (app.py:3202-3206): per-page extract_text, '\\n' after
+    each non-empty page."""
+    text = ""
+    for page in parse_pdf(data):
+        page_text = page.extract_text()
+        if page_text:
+            text += page_text + "\n"
+    return text
+
+
+def clip_text(page: PdfPage, x: float, y: float, w: float, h: float) -> str | None:
+    """E3 clip with the reference's exact padding + retry boxes
+    (app.py:3938-3941): (x, y-10, x+w+7, y+h-15), then
+    (x, y-10, x+w+50, y+h-5) when empty."""
+    clipped = page.within_bbox((x, y - 10, x + w + 7, y + h - 15)).extract_text()
+    if not clipped:
+        clipped = page.within_bbox((x, y - 10, x + w + 50, y + h - 5)).extract_text()
+    return clipped
+
+
+# --- fixture writer -----------------------------------------------------------
+
+
+def write_minimal_pdf(
+    pages: list[list[tuple[float, float, float, str]]],
+    page_width: float = 612.0,
+    page_height: float = 792.0,
+) -> bytes:
+    """Emit an uncompressed PDF 1.4.  Each page is a list of
+    (x, top, size, text) tuples in the same top-down coordinates the
+    parser reports — write → parse round-trips exactly."""
+
+    def esc(t: str) -> str:
+        return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    page_obj_ids = [3 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_obj_ids)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, spans in enumerate(pages):
+        content_id = page_obj_ids[i] + 1
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_width} {page_height}] "
+                f"/Contents {content_id} 0 R /Resources << /Font << /F1 << /Type /Font "
+                f"/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"
+            ).encode()
+        )
+        parts = []
+        for x, top, size, text in spans:
+            y = page_height - top
+            parts.append(f"BT /F1 {size} Tf {x} {y} Td ({esc(text)}) Tj ET")
+        content = "\n".join(parts).encode("latin-1")
+        objs.append(
+            f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
