@@ -130,6 +130,60 @@ def credits_ledger_stream(claims: DataFrame, initial_credits: int = 1000) -> Dat
     )
 
 
+def run_credits_merge_stream(
+    spark: SparkSession, claims_dir: str, accounts_path: str, checkpoint_dir: str
+) -> None:
+    """J5 at the sink: per-micro-batch MERGE of credit decrements into
+    the accounts table via ``foreachBatch`` — the end-to-end form of the
+    reference's SELECT→minus-1→UPDATE transaction (app.py:2251-2256)
+    combined with the J6 gate (app.py:163-194):
+
+    - each batch re-reads the CURRENT accounts state,
+    - admits requests through the access gate against it (so a company
+      whose balance went negative stops consuming unless
+      ``is_negative_credit_allowed``),
+    - decrements only admitted rows, and
+    - commits the new accounts snapshot atomically (single-file parquet
+      + ``os.replace``; on Iceberg this same plan is
+      ``MERGE INTO accounts USING decrements``).
+
+    Accounts are a per-company dim — tiny at any corpus scale — so the
+    per-batch driver-side merge is bounded; the heavy side (requests)
+    stays distributed through the gate and the groupBy."""
+    import os
+
+    from ocr_api_spark.operators.access import admitted, credit_decrements
+
+    schema = spark.read.parquet(claims_dir).schema
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        accounts = spark.read.parquet(accounts_path)
+        decs = credit_decrements(admitted(batch_df, accounts)).collect()
+        dec_map = {r["company"]: int(r["credits_used"]) for r in decs}
+        acc_pdf = accounts.toPandas()
+        acc_pdf["credits_left"] = [
+            int(c) - dec_map.get(co, 0)
+            for co, c in zip(acc_pdf["company"], acc_pdf["credits_left"])
+        ]
+        tmp = accounts_path + f".tmp-{batch_id}"
+        acc_pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, accounts_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(claims_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_once(
     spark: SparkSession, pages_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

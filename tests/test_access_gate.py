@@ -45,3 +45,50 @@ def test_access_decision_table(session):
     assert {r["req_id"] for r in adm.collect()} == {"r1", "r3"}
     dec = {r["company"]: r["credits_used"] for r in credit_decrements(adm).collect()}
     assert dec == {"c_ok": 1, "c_negcred_allowed": 1}
+
+
+def test_credits_merge_stream_negative_policy(session, tmp_path):
+    """End-to-end J5 MERGE (foreachBatch upsert into the accounts table)
+    with the reference's negative-credit policy: a company that goes
+    negative stops consuming unless is_negative_credit_allowed=1
+    (app.py:163-194 + 2251-2256)."""
+    import pandas as pd
+
+    from ocr_api_spark.streaming.stream import run_credits_merge_stream
+
+    accounts_path = str(tmp_path / "accounts.parquet")
+    pd.DataFrame(
+        {
+            "company": ["c1", "c2", "c3"],
+            "access_flag": [1, 1, 0],
+            "credits_left": [2, 1, 7],
+            "is_negative_credit_allowed": [0, 1, 0],
+        }
+    ).to_parquet(accounts_path, index=False)
+
+    claims_dir = tmp_path / "claims_stream"
+    claims_dir.mkdir()
+    batch = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(5)],
+            "company": ["c1", "c1", "c2", "c2", "c3"],
+            "doc_type": ["pan"] * 5,
+        }
+    )
+    # three identical micro-batches (maxFilesPerTrigger=1): the expected
+    # balances are order-independent by construction
+    for i in range(3):
+        batch.to_parquet(str(claims_dir / f"b{i}.parquet"), index=False)
+
+    run_credits_merge_stream(session, str(claims_dir), accounts_path, str(tmp_path / "ckpt"))
+
+    final = {
+        r["company"]: r["credits_left"]
+        for r in session.read.parquet(accounts_path).collect()
+    }
+    # c1: 2 -> 0 -> -2 -> DENIED (negative, not allowed) -> stays -2
+    assert final["c1"] == -2
+    # c2: negative allowed, keeps consuming: 1 -> -1 -> -3 -> -5
+    assert final["c2"] == -5
+    # c3: access flag 0, never admitted
+    assert final["c3"] == 7
