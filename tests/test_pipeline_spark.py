@@ -189,3 +189,27 @@ def test_unicode_byte_fidelity_through_arrow(session, tmp_path):
     run_extraction(session, p, None, out, n_buckets=4, n_salts=2)
     got = session.read.parquet(out + "/extracted").select("extracted_text").collect()[0][0]
     assert got.encode("utf-8") == golden.encode("utf-8")
+
+
+def test_bucket_stats_footer_and_mixed_statuses(tmp_path):
+    """Metrics path: row counts come from parquet footers; failed counts
+    from row-group statistics (min==max short-circuit) with a column
+    read only for mixed row groups."""
+    import pandas as pd
+
+    from ocr_api_spark.plans.pipeline import _bucket_stats, _data_files
+
+    d = tmp_path / "out"
+    (d / "bucket=3").mkdir(parents=True)
+    (d / "bucket=7").mkdir(parents=True)
+    pd.DataFrame({"status": ["Completed"] * 10 + ["Failed"] * 4, "x": range(14)}).to_parquet(
+        d / "bucket=3" / "part-0.parquet", index=False
+    )
+    pd.DataFrame({"status": ["Failed"] * 5, "x": range(5)}).to_parquet(
+        d / "bucket=3" / "part-1.parquet", index=False
+    )
+    pd.DataFrame({"status": ["Completed"] * 7, "x": range(7)}).to_parquet(
+        d / "bucket=7" / "part-0.parquet", index=False
+    )
+    stats = _bucket_stats(_data_files(str(d)), 1.0)
+    assert stats == [(3, 19, 9, 1.0), (7, 7, 0, 1.0)]
