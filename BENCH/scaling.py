@@ -44,11 +44,21 @@ spark = build_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuff
                       extra_conf={"spark.local.dir": "/dev/shm/spark_local"})
 spark.sparkContext.setLogLevel("ERROR")
 
+mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "full")
+
 def job(out):
     pages = spark.read.parquet(pages_path)
     claims = spark.read.parquet(claims_path)
     plan = extraction_plan(pages, claims, 32, 8, n_parts=cpus * 4)
-    plan.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    if mode == "compute":
+        # consume every extracted row WITHOUT the parquet sink: isolates
+        # UDF-compute scaling from the single-box codec/commit tail.
+        # (sum(length(...)) forces the UDF column; a bare count() would
+        # let Spark prune the extraction entirely.)
+        from pyspark.sql import functions as F
+        plan.agg(F.sum(F.length("extracted_text")), F.count("status")).collect()
+    else:
+        plan.write.mode("overwrite").partitionBy("bucket").parquet(out)
 
 # warmup on a slice: JVM stages + Python worker pool
 warm = tempfile.mkdtemp(prefix="scale_warm_", dir="/dev/shm")
@@ -71,7 +81,7 @@ job(out)
 wall = time.time() - t0
 tot1, steal1 = cpu_stat()
 steal_pct = round(100.0 * (steal1 - steal0) / max(tot1 - tot0, 1), 2)
-n = spark.read.parquet(out).count()
+n = spark.read.parquet(out).count() if mode != "compute" else spark.read.parquet(pages_path).count()
 shutil.rmtree(os.path.dirname(out), ignore_errors=True)
 print(json.dumps({"cpus": cpus, "rows": n, "wall_s": round(wall, 3),
                   "docs_per_sec": round(n / wall, 2), "host_steal_pct": steal_pct}))

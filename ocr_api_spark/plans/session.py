@@ -34,6 +34,11 @@ def build_session(
         # buffers ~tens of MB without starving the Python workers
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd sink: measured equal wall time to snappy on the heavy-page
+        # corpus but 1.54x smaller files (390 vs 599 MB for 300k pages) —
+        # at 100 TB that is the dominant object-store I/O and downstream
+        # scan saving, at no throughput cost
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
