@@ -178,6 +178,21 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         extract_main_text(h)
     extras["kernel_boilerplate_pages_per_sec_core"] = round(400 / (time.time() - t0))
 
+    # image branch: the full passport pre-OCR chain (rotate + upscale +
+    # CLAHE + unsharp) on a 640x480 page scan, single core
+    import numpy as np
+
+    from ocr_api_spark.kernels import image as im
+
+    scan = np.random.default_rng(2).integers(0, 256, (480, 640), dtype=np.uint8)
+    n_img = 5
+    t0 = time.time()
+    for _ in range(n_img):
+        img = im.correct_rotation(scan, 90)
+        img = im.upscale_image(img, 2.0)
+        im.enhance_contrast_and_sharpen(np.repeat(img[..., None], 3, 2))
+    extras["kernel_preocr_images_per_sec_core"] = round(n_img / (time.time() - t0), 1)
+
     total = round(sum(timings.values()), 3)
     result = {
         "host_steal_pct": _steal_pct(),

@@ -458,10 +458,12 @@ def enhance_contrast_and_sharpen(img_bgr: np.ndarray) -> np.ndarray:
     (addWeighted(contrast, 2.0, blurred, -1.0, 0))."""
     gray = bgr_to_gray(img_bgr)
     contrast = clahe(gray, 2.0, (8, 8))
-    contrast_bgr = gray_to_bgr(contrast)
-    blurred = gaussian_blur(contrast_bgr, (0, 0), sigma=1.0)
-    sharpened = contrast_bgr.astype(np.float64) * 2.0 + blurred.astype(np.float64) * -1.0
-    return np.clip(np.rint(sharpened), 0, 255).astype(np.uint8)
+    # the reference blurs the gray→BGR replication; all three channels are
+    # identical, so blurring the single channel and replicating after is
+    # byte-identical at a third of the work
+    blurred = gaussian_blur(contrast, (0, 0), sigma=1.0)
+    sharpened = contrast.astype(np.float64) * 2.0 + blurred.astype(np.float64) * -1.0
+    return gray_to_bgr(np.clip(np.rint(sharpened), 0, 255).astype(np.uint8))
 
 
 def preprocess_for_osd(img: np.ndarray) -> np.ndarray:

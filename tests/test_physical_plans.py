@@ -76,3 +76,44 @@ def test_resume_filter_is_on_scan_side(session, tmp_path):
     plan = explain_str(pages)
     assert "ArrowEvalPython" not in plan  # pure scan+filter, no UDF involved
     assert "Filter" in plan
+
+
+def test_simhash_is_pure_projection_no_shuffle(session):
+    """The rewritten simhash64 folds the bit votes inside one
+    higher-order aggregate: one row per doc, NO explode, NO Exchange —
+    at 100 TB it runs entirely map-side."""
+    from ocr_api_spark.operators.dedup import simhash64
+
+    docs = session.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(simhash64(docs, "text"))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan  # JVM only
+
+
+def test_ivf_assign_is_pure_projection(session):
+    """Centroid assignment is a JVM-side projection — the inverted-list
+    column exists without any shuffle, so it can drive partition-pruned
+    probes at scale."""
+    from ocr_api_spark.operators.ivf import ivf_assign
+
+    emb = session.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = [[float(j == d) for d in range(64)] for j in range(4)]
+    plan = explain_str(ivf_assign(emb, centroids))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_probe_prunes_before_rerank(session):
+    """The probe filter must sit below the top-k sort: only the probed
+    inverted lists are re-ranked."""
+    from ocr_api_spark.operators.ivf import ivf_assign, ivf_topk
+
+    emb = session.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = [[float(j == d) for d in range(64)] for j in range(4)]
+    q = [1.0] + [0.0] * 63
+    plan = explain_str(ivf_topk(ivf_assign(emb, centroids), centroids, q, 5, n_probe=2))
+    assert "TakeOrderedAndProject" in plan
+    assert "Filter" in plan
+    # the filter node must appear deeper in the tree than the top-k node
+    assert plan.index("TakeOrderedAndProject") < plan.index("Filter")
