@@ -200,23 +200,67 @@ def adaptive_threshold_gaussian(
     ).astype(np.uint8)
 
 
-def dilate(img: np.ndarray, kernel: np.ndarray, iterations: int = 1) -> np.ndarray:
-    """cv2.dilate (max filter over the kernel footprint).  The reference
-    calls it with np.ones((1,1)) — the identity (app.py:1776-1777)."""
+def _morph(img: np.ndarray, kernel: np.ndarray, reducer, pad_value: int, flip: bool) -> np.ndarray:
+    """One min/max filter pass over the kernel footprint with cv2's
+    neutral border (morphologyDefaultBorderValue: +inf for erode, -inf
+    for dilate — i.e. the border never wins).  cv2 anchors at
+    (kh//2, kw//2) and DILATION reflects the structuring element about
+    the anchor (visible for even-sized kernels), hence ``flip``."""
     kh, kw = kernel.shape
-    if kh == 1 and kw == 1:
+    ay, ax = kh // 2, kw // 2
+    if flip:
+        ay, ax = kh - 1 - ay, kw - 1 - ax
+    padded = np.pad(
+        img,
+        ((ay, kh - 1 - ay), (ax, kw - 1 - ax)),
+        mode="constant",
+        constant_values=pad_value,
+    )
+    stacked = [
+        padded[i : i + img.shape[0], j : j + img.shape[1]]
+        for i in range(kh)
+        for j in range(kw)
+        if kernel[i, j]
+    ]
+    return reducer.reduce(stacked)
+
+
+def dilate(img: np.ndarray, kernel: np.ndarray, iterations: int = 1) -> np.ndarray:
+    """cv2.dilate (max filter over the reflected kernel footprint).  The
+    reference calls it with np.ones((1,1)) — the identity
+    (app.py:1776-1777)."""
+    if kernel.shape == (1, 1):
         return img.copy()
     out = img
     for _ in range(iterations):
-        padded = np.pad(out, ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)), mode="edge")
-        stacked = [
-            padded[i : i + out.shape[0], j : j + out.shape[1]]
-            for i in range(kh)
-            for j in range(kw)
-            if kernel[i, j]
-        ]
-        out = np.maximum.reduce(stacked)
+        out = _morph(out, kernel, np.maximum, 0, flip=True)
     return out
+
+
+def erode(img: np.ndarray, kernel: np.ndarray, iterations: int = 1) -> np.ndarray:
+    """cv2.erode (min filter)."""
+    if kernel.shape == (1, 1):
+        return img.copy()
+    out = img
+    for _ in range(iterations):
+        out = _morph(out, kernel, np.minimum, 255, flip=False)
+    return out
+
+
+def morph_open(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """cv2.morphologyEx(MORPH_OPEN) = erode then dilate — keeps only
+    structures that contain the kernel."""
+    return dilate(erode(img, kernel), kernel)
+
+
+def remove_vertical_lines(mask: np.ndarray, length: int = 30) -> np.ndarray:
+    """app.py:4741-4744 — open with a 1×``length`` vertical rect
+    (cv2's (1, 30) structuring element is 1 wide, 30 tall) and subtract:
+    table rules and borders vanish from the ink mask before contouring."""
+    u8 = (mask.astype(np.uint8)) * (255 if mask.dtype == bool else 1)
+    vertical = morph_open(u8, np.ones((length, 1), np.uint8))
+    cleaned = np.clip(u8.astype(np.int16) - vertical.astype(np.int16), 0, 255).astype(np.uint8)
+    return cleaned > 0 if mask.dtype == bool else cleaned
 
 
 # --- CLAHE -------------------------------------------------------------------

@@ -16,7 +16,9 @@ documented inline:
   blob-like marks, deterministic.
 - straight-line verdict: row-spread/touch/aspect tests (app.py:4783-4806)
   on the axis-aligned foreground crop instead of the rotated
-  minAreaRect ROI.
+  minAreaRect ROI; the reference's vertical-line removal (1×30
+  MORPH_OPEN + subtract, app.py:4741-4744) runs first via
+  ``kernels.image.remove_vertical_lines`` (exact morphology).
 
 When cv2 is available the operators can swap in the exact primitives;
 the decision thresholds live here either way.
@@ -146,7 +148,11 @@ def is_straight_line_signature(
     along its minor dimension before the ROI tests, exactly like the
     reference (app.py:4759-4762) — that margin is what makes the
     vertical-spread and touch tests meaningful."""
-    mask = foreground_mask(image)
+    from ocr_api_spark.kernels.image import remove_vertical_lines
+
+    # app.py:4741-4744: table rules / borders (30-px vertical runs) are
+    # opened out of the ink mask before the box tests
+    mask = remove_vertical_lines(foreground_mask(image), 30)
     ys, xs = np.nonzero(mask)
     if len(xs) == 0:
         return False

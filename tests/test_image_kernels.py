@@ -281,3 +281,22 @@ def test_golden_digests(rgb, gray):
     assert _md5(im.clahe(gray)) == _GOLDEN["clahe"]
     assert _md5(im.gaussian_blur(gray, (0, 0), 1.0)) == _GOLDEN["blur_sigma1"]
     assert _md5(im.resize_cubic(gray, fx=1.5, fy=1.5)) == _GOLDEN["cubic_1_5x"]
+
+
+def test_erode_open_and_vertical_line_removal():
+    # erode of an isolated bright pixel under a 3x3 kernel removes it
+    img = np.zeros((9, 9), np.uint8)
+    img[4, 4] = 255
+    assert im.erode(img, np.ones((3, 3), np.uint8)).max() == 0
+    # open keeps structures that contain the kernel, drops smaller ones
+    img2 = np.zeros((40, 40), np.uint8)
+    img2[5:35, 10] = 255  # 30-px vertical rule
+    img2[20, 20:24] = 255  # short horizontal mark
+    opened = im.morph_open(img2, np.ones((30, 1), np.uint8))
+    assert opened[:, 10].max() == 255 and opened[20, 20:24].max() == 0
+    # remove_vertical_lines: the rule disappears, the mark stays
+    mask = img2 > 0
+    cleaned = im.remove_vertical_lines(mask, 30)
+    assert cleaned.dtype == bool
+    assert not cleaned[:, 10].any()
+    assert cleaned[20, 20:24].all()
