@@ -988,6 +988,60 @@ def _write_expected_extractions(sf_dir: str) -> None:
     ).to_parquet(os.path.join(_EXPECTED_DIR, "branches_expected.parquet"), index=False)
 
 
+def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
+    """Differential oracle for the PDF text layer (S4): lay every
+    document out as a deterministic one-page PDF and parse it back —
+    driver-side locally, Spark-side distributed; byte-equal or red."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_api_spark.sources.pdftext import pdf_from_text, pdf_text
+
+    os.makedirs(_EXPECTED_DIR, exist_ok=True)
+    docs = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = docs[docs["doc_id"] < 50]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "pdf_text": [pdf_text(pdf_from_text(t)) for t in docs["text"]],
+        }
+    ).to_parquet(os.path.join(_EXPECTED_DIR, "pdf_roundtrip_expected.parquet"), index=False)
+
+
+_PDF_ROUNDTRIP_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id, pdf_text
+FROM read_parquet('{_EXPECTED_DIR}/pdf_roundtrip_expected.parquet')
+"""
+
+
+def _doc_pdf_roundtrip(spark, sf_dir):
+    """S4 in the driver gate: per-document deterministic PDF bytes →
+    the distributed %PDF parse branch; compared against the driver-side
+    run of the same writer+parser."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    _write_expected_pdf_roundtrip(sf_dir)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    @pandas_udf(StringType())
+    def roundtrip(texts):
+        from ocr_api_spark.sources.pdftext import pdf_from_text, pdf_text
+
+        return texts.map(lambda t: pdf_text(pdf_from_text(t)) if t is not None else None)
+
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), roundtrip("text").alias("pdf_text")
+    )
+
+
 _PAN_EXPECTED_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, status, ocr_name, ocr_dob
 FROM read_parquet('{_EXPECTED_DIR}/pan_expected.parquet')
@@ -1174,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroid": _emb_label_centroid_norm,
         "extract_pan_over_documents": _extract_pan_over_documents,
         "extract_all_branches": _extract_all_branches,
+        "doc_pdf_roundtrip": _doc_pdf_roundtrip,
         "doc_spans": _doc_spans,
         "doc_simhash": _doc_simhash,
         "doc_simhash_bands": _doc_simhash_bands,
@@ -1190,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
     if os.path.isdir(default_sf):
         try:
             _write_expected_extractions(default_sf)
+            _write_expected_pdf_roundtrip(default_sf)
         except Exception:
             pass  # queries() regenerates for its own sf_dir anyway
     return {
@@ -1231,4 +1287,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,
         "extract_pan_over_documents": _PAN_EXPECTED_SQL,
         "extract_all_branches": _BRANCHES_EXPECTED_SQL,
+        "doc_pdf_roundtrip": _PDF_ROUNDTRIP_SQL,
     }

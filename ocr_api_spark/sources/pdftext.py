@@ -280,6 +280,18 @@ def clip_text(page: PdfPage, x: float, y: float, w: float, h: float) -> str | No
     return clipped
 
 
+def pdf_from_text(text: str, words_per_line: int = 6, size: float = 12.0) -> bytes:
+    """Deterministic document→PDF lay-out: ``words_per_line`` words per
+    line, 16-pt leading from top 72.  Shared by the Spark query and the
+    driver-side oracle so PDF write→parse round-trips are comparable."""
+    words = [w for w in text.split(" ") if w]
+    spans = []
+    for i in range(0, len(words), words_per_line):
+        line = " ".join(words[i : i + words_per_line])
+        spans.append((72.0, 72.0 + 16.0 * (i // words_per_line), size, line))
+    return write_minimal_pdf([spans])
+
+
 # --- fixture writer -----------------------------------------------------------
 
 
@@ -314,7 +326,9 @@ def write_minimal_pdf(
         for x, top, size, text in spans:
             y = page_height - top
             parts.append(f"BT /F1 {size} Tf {x} {y} Td ({esc(text)}) Tj ET")
-        content = "\n".join(parts).encode("latin-1")
+        # PDF literal strings are byte strings; non-latin-1 text degrades
+        # deterministically (same replacement on writer and parser side)
+        content = "\n".join(parts).encode("latin-1", errors="replace")
         objs.append(
             f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
         )

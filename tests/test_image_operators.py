@@ -118,3 +118,51 @@ def test_preocr_chain_retry_uses_preprocessed_image(session):
     assert row["osd_angle"] == 180
     # preprocess_for_osd doubled 20×30 to 40×60; 180° keeps dims; ×2 -> 80×120
     assert (row["out_h"], row["out_w"]) == (80, 120)
+
+
+def test_e4_passport_lifecycle_end_to_end(session):
+    """E4 (reference /api/extract-passport-info, app.py:5634-5726) across
+    the whole new chain: .npy image payload → OSD gate + rotate +
+    upscale + CLAHE/unsharp (preocr_chain) → OCR token table (engine
+    stubbed at the token interface) → reading-order text → passport
+    field extraction.  Every stage but the OCR engine subprocess runs
+    the real kernels."""
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.operators.extract import extract_udf
+    from ocr_api_spark.operators.multimodal import preocr_chain, with_token_text
+
+    rng = np.random.default_rng(17)
+    df = session.createDataFrame(
+        [("p1", _npy_bytes(rng.integers(0, 256, (60, 90), dtype=np.uint8)), "image")],
+        "url string, payload binary, payload_kind string",
+    )
+    pre = preocr_chain(df, osd_fn=lambda _: "Rotate: 90")
+    row = pre.collect()[0]
+    assert row["chain_status"] == "ok" and row["osd_angle"] == 90
+
+    # OCR engine interface: the processed image would go to Paddle; here
+    # the token table (text, conf, box) is the engine's contract
+    lines = [
+        "REPUBLIC OF INDIA", "Passport No.", "M1234567",
+        "Surname", "SHARMA", "Given Name(s)", "RAHUL",
+    ]
+    tokens = [
+        {"text": t, "conf": 0.95, "box": [[5, 20 * i], [200, 20 * i], [200, 20 * i + 15], [5, 20 * i + 15]]}
+        for i, t in enumerate(lines)
+    ]
+    toks_df = session.createDataFrame(
+        [("p1", tokens)],
+        "url string, tokens array<struct<text:string,conf:float,box:array<array<int>>>>",
+    )
+    staged = pre.join(toks_df, "url")
+    texted = with_token_text(staged, conf_threshold=0.5)
+    out = (
+        texted.withColumn("extraction", extract_udf(F.col("token_text"), F.lit("passport")))
+        .select("url", "extraction.status", "extraction.passport.*")
+        .collect()[0]
+    )
+    assert out["status"] == "Completed"
+    assert out["passport_number"] == "M1234567"
+    assert out["surname"] == "SHARMA"
+    assert out["given_name"] == "RAHUL"
