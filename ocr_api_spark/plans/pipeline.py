@@ -275,7 +275,26 @@ def run_extraction(
         stats.select("bucket").distinct().write.mode("append").parquet(
             os.path.join(out_dir, "lineage")
         )
-        assert sum(r[1] for r in stats_rows) == n_rows  # footers == observe
+        # Iceberg-shaped commit record: which files this run added, with
+        # per-bucket counts (plans/sink.py — verify_sink/compact_bucket
+        # consume these)
+        from ocr_api_spark.plans.sink import write_snapshot
+
+        write_snapshot(out_dir, new_files, stats_rows)
+
+    footer_rows = sum(r[1] for r in stats_rows)
+    if footer_rows != n_rows:
+        # a concurrent run committing into the same out_dir between the
+        # dir-diff snapshots shows up here; its rows are legitimately
+        # committed, so surface the discrepancy instead of failing a job
+        # whose own write already succeeded
+        import warnings
+
+        warnings.warn(
+            f"metrics mismatch: footers counted {footer_rows} rows, observe saw {n_rows} "
+            "(concurrent writer into the same out_dir?)",
+            stacklevel=2,
+        )
 
     wall = time.time() - t0
     return {

@@ -1,0 +1,152 @@
+"""Sink maintenance for the bucket-partitioned extraction output —
+the parquet-directory emulation of an Iceberg table's commit protocol
+(SURVEY §2.1 S11; north_rule's "checkpointed lineage + metrics …
+resumable mid-flight").
+
+- ``write_snapshot``: every successful ``run_extraction`` commit
+  appends a JSON manifest naming exactly the files it added with their
+  per-bucket row/failed counts.  This is what an Iceberg snapshot's
+  manifest list provides natively; with it, "which files belong to
+  which run" never requires a directory diff again.
+- ``snapshot_files`` / ``verify_sink``: reconcile the union of
+  manifests against the directory — orphan files (present but in no
+  manifest: a crashed writer's leftovers) and missing files (manifest
+  entries deleted out-of-band) are the two failure modes a 10^12-row
+  table accumulates.
+- ``compact_bucket``: the small-file problem.  A long-running
+  append-per-run sink collects many sub-target files per bucket;
+  compaction rewrites one bucket to ~``target_mb`` files and records a
+  replacement snapshot.  The swap is directory-rename based — Iceberg
+  swaps a metadata pointer atomically instead; the emulation documents
+  its (small) non-atomic window rather than pretending otherwise.
+
+Everything here is driver-side bookkeeping over file metadata; only
+``compact_bucket`` runs a (single-bucket-scoped) Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _snapshot_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_snapshots")
+
+
+def write_snapshot(out_dir: str, new_files: set[str], stats_rows: list[tuple]) -> str:
+    """Record one commit: relative file paths + per-bucket stats.
+    Returns the manifest path."""
+    snap_dir = _snapshot_dir(out_dir)
+    os.makedirs(snap_dir, exist_ok=True)
+    seq = len([f for f in os.listdir(snap_dir) if f.endswith(".json")])
+    base = os.path.join(out_dir, "extracted")
+    manifest = {
+        "seq": seq,
+        "ts": time.time(),
+        "files": sorted(os.path.relpath(f, base) for f in new_files),
+        "buckets": [
+            {"bucket": b, "rows_out": r, "rows_failed": fl} for (b, r, fl, _w) in stats_rows
+        ],
+    }
+    path = os.path.join(snap_dir, f"snap-{seq:05d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)  # atomic publish
+    return path
+
+
+def snapshot_files(out_dir: str) -> set[str]:
+    """Relative paths of every file any snapshot has committed (minus
+    files later replaced by compaction)."""
+    snap_dir = _snapshot_dir(out_dir)
+    if not os.path.isdir(snap_dir):
+        return set()
+    files: set[str] = set()
+    for name in sorted(os.listdir(snap_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(snap_dir, name)) as f:
+            manifest = json.load(f)
+        files |= set(manifest["files"])
+        files -= set(manifest.get("replaces", []))
+    return files
+
+
+def verify_sink(out_dir: str) -> dict:
+    """Reconcile manifests vs the directory.  Orphans = on disk but in
+    no live snapshot (crashed/zombie writers); missing = committed but
+    gone (out-of-band deletion).  Both lists are the GC/repair input."""
+    base = os.path.join(out_dir, "extracted")
+    on_disk = set()
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                on_disk.add(os.path.relpath(os.path.join(root, f), base))
+    committed = snapshot_files(out_dir)
+    return {
+        "on_disk": len(on_disk),
+        "committed": len(committed),
+        "orphans": sorted(on_disk - committed),
+        "missing": sorted(committed - on_disk),
+    }
+
+
+def compact_bucket(spark, out_dir: str, bucket: int, target_mb: int = 128) -> dict:
+    """Rewrite one bucket's files into ~target_mb outputs and record a
+    replacement snapshot.  Scoped to a single bucket so a 10^12-row
+    table compacts incrementally (one bucket = one unit of work, same
+    as resume).  Non-atomic window: between the directory swap and the
+    manifest write a concurrent reader sees the new files — Iceberg's
+    metadata-pointer swap removes this; documented emulation limit."""
+    base = os.path.join(out_dir, "extracted")
+    bucket_dir = os.path.join(base, f"bucket={bucket}")
+    old = [
+        os.path.join(bucket_dir, f)
+        for f in os.listdir(bucket_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in old)
+    n_out = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    if len(old) <= n_out:
+        return {"bucket": bucket, "compacted": False, "files": len(old), "target": n_out}
+
+    df = spark.read.parquet(bucket_dir)
+    tmp_dir = bucket_dir + ".compact-tmp"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
+
+    new_rel = []
+    for f in os.listdir(tmp_dir):
+        if f.endswith(".parquet") and not f.startswith("."):
+            new_rel.append(os.path.join(f"bucket={bucket}", f))
+    # swap: move old out, promote tmp files in, then publish the manifest
+    trash = bucket_dir + ".old"
+    os.rename(bucket_dir, trash)
+    os.makedirs(bucket_dir)
+    for f in os.listdir(tmp_dir):
+        if f.endswith(".parquet") and not f.startswith("."):
+            os.rename(os.path.join(tmp_dir, f), os.path.join(bucket_dir, f))
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+
+    snap_dir = _snapshot_dir(out_dir)
+    os.makedirs(snap_dir, exist_ok=True)
+    seq = len([f for f in os.listdir(snap_dir) if f.endswith(".json")])
+    manifest = {
+        "seq": seq,
+        "ts": time.time(),
+        "compaction": True,
+        "files": sorted(new_rel),
+        "replaces": sorted(os.path.relpath(f, base) for f in old),
+        "buckets": [{"bucket": bucket}],
+    }
+    path = os.path.join(snap_dir, f"snap-{seq:05d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+    return {"bucket": bucket, "compacted": True, "files_before": len(old), "files_after": len(new_rel)}
