@@ -166,3 +166,42 @@ def test_e4_passport_lifecycle_end_to_end(session):
     assert out["passport_number"] == "M1234567"
     assert out["surname"] == "SHARMA"
     assert out["given_name"] == "RAHUL"
+
+
+def test_preocr_chain_composes_with_structured_streaming(session, tmp_path):
+    """The pre-OCR chain is mapInPandas over a schema — it runs
+    unchanged on a stream (new image files = new arrivals), checkpointed
+    and exactly-once like the text pipeline."""
+    import pandas as pd
+
+    from ocr_api_spark.operators.multimodal import preocr_chain
+
+    rng = np.random.default_rng(23)
+    stream_dir = tmp_path / "img_stream"
+    stream_dir.mkdir()
+    pd.DataFrame(
+        {
+            "url": ["s1", "s2"],
+            "payload": [
+                _npy_bytes(rng.integers(0, 256, (20, 30), dtype=np.uint8)),
+                b"\x00not-npy",
+            ],
+            "payload_kind": ["image", "image"],
+        }
+    ).to_parquet(str(stream_dir / "batch0.parquet"), index=False)
+
+    schema = session.read.parquet(str(stream_dir)).schema
+    stream = session.readStream.schema(schema).format("parquet").load(str(stream_dir))
+    q = (
+        preocr_chain(stream)
+        .writeStream.format("memory")
+        .queryName("preocr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["url"]: r for r in session.sql("select * from preocr_stream").collect()}
+    assert rows["s1"]["chain_status"] == "ok" and rows["s1"]["osd_angle"] == 0
+    assert rows["s2"]["chain_status"] == "undecodable"
