@@ -936,6 +936,10 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 _EXPECTED_DIR = "/root/repo/dist/oracle_expected"
 _BRANCH_TYPES = ["pan", "aadhaar", "bank", "financial", "dl", "passport"]
+# the expected files live at fixed paths, so remember which sf_dir each
+# kind was last generated for: repeated calls for the same SF (three
+# queries + oracle_sql per evaluation) do the driver-side kernel run once
+_EXPECTED_LAST: dict[str, str] = {}
 
 
 def _write_expected_extractions(sf_dir: str) -> None:
@@ -952,6 +956,10 @@ def _write_expected_extractions(sf_dir: str) -> None:
     at a time, so query and oracle always see the same data.
     """
     import os
+
+    if _EXPECTED_LAST.get("extractions") == sf_dir:
+        return
+    _EXPECTED_LAST["extractions"] = sf_dir
 
     import pandas as pd
     import pyarrow.parquet as pq
@@ -993,6 +1001,10 @@ def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
     document out as a deterministic one-page PDF and parse it back —
     driver-side locally, Spark-side distributed; byte-equal or red."""
     import os
+
+    if _EXPECTED_LAST.get("pdf_roundtrip") == sf_dir:
+        return
+    _EXPECTED_LAST["pdf_roundtrip"] = sf_dir
 
     import pandas as pd
     import pyarrow.parquet as pq

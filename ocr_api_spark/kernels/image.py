@@ -156,11 +156,11 @@ def _auto_ksize(sigma: float) -> int:
     return int(round(sigma * 3 * 2 + 1)) | 1
 
 
-def _reflect101_conv(img: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+def _sep_conv(img: np.ndarray, k: np.ndarray, axis: int, pad_mode: str) -> np.ndarray:
     pad = len(k) // 2
     pad_spec = [(0, 0)] * img.ndim
     pad_spec[axis] = (pad, pad)
-    padded = np.pad(img, pad_spec, mode="reflect")  # numpy reflect == BORDER_REFLECT_101
+    padded = np.pad(img, pad_spec, mode=pad_mode)
     out = np.zeros_like(img, dtype=np.float64)
     for i, kv in enumerate(k):
         sl = [slice(None)] * img.ndim
@@ -170,9 +170,14 @@ def _reflect101_conv(img: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
 
 
 def gaussian_blur(
-    img: np.ndarray, ksize: tuple[int, int] = (0, 0), sigma: float = 0.0
+    img: np.ndarray,
+    ksize: tuple[int, int] = (0, 0),
+    sigma: float = 0.0,
+    border: str = "reflect",
 ) -> np.ndarray:
-    """cv2.GaussianBlur with BORDER_DEFAULT (REFLECT_101)."""
+    """cv2.GaussianBlur.  ``border``: numpy pad mode — "reflect" is
+    cv2's BORDER_DEFAULT (REFLECT_101), "edge" is BORDER_REPLICATE
+    (what adaptiveThreshold uses internally)."""
     kw, kh = ksize
     if kw <= 0:
         kw = _auto_ksize(sigma)
@@ -180,8 +185,8 @@ def gaussian_blur(
         kh = _auto_ksize(sigma)
     kx = gaussian_kernel_1d(kw, sigma)
     ky = gaussian_kernel_1d(kh, sigma)
-    out = _reflect101_conv(img.astype(np.float64), ky, axis=0)
-    out = _reflect101_conv(out, kx, axis=1)
+    out = _sep_conv(img.astype(np.float64), ky, axis=0, pad_mode=border)
+    out = _sep_conv(out, kx, axis=1, pad_mode=border)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
@@ -193,10 +198,13 @@ def adaptive_threshold_gaussian(
 ) -> np.ndarray:
     """cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY)
     — app.py:1774.  Threshold surface = Gaussian-weighted neighborhood
-    mean (sigma from the sigma<=0 formula) rounded to uint8, minus C."""
-    mean = gaussian_blur(gray, (block_size, block_size), 0.0)
+    mean rounded to uint8, minus C.  cv2 conventions: the internal blur
+    pads with BORDER_REPLICATE (not the blur default REFLECT_101), and
+    THRESH_BINARY uses cvCeil(C)."""
+    mean = gaussian_blur(gray, (block_size, block_size), 0.0, border="edge")
+    idelta = int(math.ceil(C))
     return np.where(
-        gray.astype(np.int64) > mean.astype(np.int64) - int(round(C)), max_value, 0
+        gray.astype(np.int64) > mean.astype(np.int64) - idelta, max_value, 0
     ).astype(np.uint8)
 
 

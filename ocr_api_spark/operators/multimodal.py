@@ -101,9 +101,13 @@ class _Decoder:
             from ocr_api_spark.kernels import image as im
             from ocr_api_spark.kernels.signature import otsu_threshold
 
+            # payload convention: decoded pixels are BGR/BGRA (what
+            # cv2.imdecode yields in the reference flow, app.py:5099);
+            # preprocess_image is the RGB-input chain, so flip for it
             arr = im.alpha_flatten(arr)  # I12: BGRA -> white-composited BGR
-            gray = im.rgb_to_gray(arr)
-            binary = im.preprocess_image(arr if arr.ndim == 3 else np.repeat(arr[..., None], 3, 2))
+            gray = im.bgr_to_gray(arr)
+            rgb = arr[..., ::-1] if arr.ndim == 3 else np.repeat(arr[..., None], 3, 2)
+            binary = im.preprocess_image(rgb)
             h, w = gray.shape
             feature = [
                 float(h),

@@ -64,16 +64,6 @@ def template_fold_udf(clips_json: pd.Series, felds_json: pd.Series) -> pd.DataFr
     return pd.DataFrame(rows, columns=["ocrdata", "matching_results", "average_match_percentage"])
 
 
-CLIPS_SCHEMA = StructType(
-    [
-        StructField("document_id", StringType(), True),
-        StructField("page", IntegerType(), True),
-        StructField("field", StringType(), True),
-        StructField("clip_text", StringType(), True),
-    ]
-)
-
-
 def pdf_clips(pdfs: DataFrame, templates: DataFrame) -> DataFrame:
     """Real S5: clip each template rect out of actual PDF bytes.
 
@@ -82,33 +72,59 @@ def pdf_clips(pdfs: DataFrame, templates: DataFrame) -> DataFrame:
     clip_text), the same schema the pre-clipped ``clips`` table uses —
     ``template_extraction`` consumes either.
 
-    Shape for scale: group by document so each PDF is parsed ONCE per
-    doc (not once per field); templates broadcast; output is the E3
-    bbox clip with the reference's exact padding + retry
-    (app.py:3926-3941 via ``sources.pdftext.clip_text``)."""
+    Shape for scale: the template rects are AGGREGATED per document
+    first (small dim → collect_list → broadcast), so the 1:1 join
+    carries ONE copy of each PDF binary and the UDF parses each PDF
+    once, emitting all field clips as an array that explodes JVM-side
+    — never N_fields copies of the payload through a shuffle.  The
+    clip itself is the E3 bbox with the reference's exact padding +
+    retry (app.py:3926-3941 via ``sources.pdftext.clip_text``)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
 
-    def clip_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    clip_struct = ArrayType(
+        StructType(
+            [
+                StructField("page", IntegerType()),
+                StructField("field", StringType()),
+                StructField("clip_text", StringType()),
+            ]
+        )
+    )
+
+    @pandas_udf(clip_struct)
+    def clip_all(pdf_bytes: pd.Series, rects: pd.Series) -> pd.Series:
         from ocr_api_spark.sources.pdftext import MiniPdfError, clip_text, parse_pdf
 
-        raw = pdf["pdf"].iloc[0]
-        try:
-            pages = parse_pdf(bytes(raw)) if raw is not None else []
-        except MiniPdfError:
-            pages = []
-        rows = []
-        for _, r in pdf.iterrows():
-            page_no = int(r["page"])
-            text = None
-            if 1 <= page_no <= len(pages):
-                # reference indexes pdf.pages[int(page)-1] (app.py:3926)
-                text = clip_text(
-                    pages[page_no - 1], float(r["x"]), float(r["y"]), float(r["width"]), float(r["height"])
-                )
-            rows.append((r["document_id"], page_no, r["field"], text))
-        return pd.DataFrame(rows, columns=["document_id", "page", "field", "clip_text"])
+        out = []
+        for raw, rect_list in zip(pdf_bytes, rects):
+            try:
+                pages = parse_pdf(bytes(raw)) if raw is not None else []
+            except MiniPdfError:
+                pages = []
+            clips = []
+            if rect_list is None:
+                rect_list = []
+            for r in rect_list:
+                page_no = int(r["page"])
+                text = None
+                if 1 <= page_no <= len(pages):
+                    # reference indexes pdf.pages[int(page)-1] (app.py:3926)
+                    text = clip_text(
+                        pages[page_no - 1], float(r["x"]), float(r["y"]), float(r["width"]), float(r["height"])
+                    )
+                clips.append({"page": page_no, "field": r["field"], "clip_text": text})
+            out.append(clips)
+        return pd.Series(out)
 
-    joined = F.broadcast(templates).join(pdfs, "document_id")
-    return joined.groupBy("document_id").applyInPandas(clip_group, CLIPS_SCHEMA)
+    rects_per_doc = templates.groupBy("document_id").agg(
+        F.collect_list(F.struct("page", "field", "x", "y", "width", "height")).alias("rects")
+    )
+    joined = pdfs.join(F.broadcast(rects_per_doc), "document_id")
+    return (
+        joined.select("document_id", F.explode(clip_all("pdf", "rects")).alias("c"))
+        .select("document_id", F.col("c.page").alias("page"), F.col("c.field").alias("field"), F.col("c.clip_text").alias("clip_text"))
+    )
 
 
 def template_extraction(docs: DataFrame, templates: DataFrame, clips: DataFrame) -> DataFrame:

@@ -35,21 +35,35 @@ def _snapshot_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_snapshots")
 
 
-def write_snapshot(out_dir: str, new_files: set[str], stats_rows: list[tuple]) -> str:
-    """Record one commit: relative file paths + per-bucket stats.
-    Returns the manifest path."""
+def write_snapshot(
+    out_dir: str,
+    new_files: set[str],
+    stats_rows: list[tuple],
+    replaces: set[str] | None = None,
+    compaction: bool = False,
+) -> str:
+    """Record one commit: relative file paths + per-bucket stats (and,
+    for compactions, the files this snapshot replaces).  Returns the
+    manifest path — the single publish point for every commit kind."""
     snap_dir = _snapshot_dir(out_dir)
     os.makedirs(snap_dir, exist_ok=True)
     seq = len([f for f in os.listdir(snap_dir) if f.endswith(".json")])
     base = os.path.join(out_dir, "extracted")
+
+    def rel(f: str) -> str:
+        return os.path.relpath(f, base) if os.path.isabs(f) else f
+
     manifest = {
         "seq": seq,
         "ts": time.time(),
-        "files": sorted(os.path.relpath(f, base) for f in new_files),
+        "files": sorted(rel(f) for f in new_files),
         "buckets": [
             {"bucket": b, "rows_out": r, "rows_failed": fl} for (b, r, fl, _w) in stats_rows
         ],
     }
+    if compaction:
+        manifest["compaction"] = True
+        manifest["replaces"] = sorted(rel(f) for f in (replaces or set()))
     path = os.path.join(snap_dir, f"snap-{seq:05d}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -113,40 +127,30 @@ def compact_bucket(spark, out_dir: str, bucket: int, target_mb: int = 128) -> di
     if len(old) <= n_out:
         return {"bucket": bucket, "compacted": False, "files": len(old), "target": n_out}
 
-    df = spark.read.parquet(bucket_dir)
+    # read EXACTLY the files being replaced (not the directory): a
+    # concurrent run_extraction may append new files to this bucket at
+    # any moment, and they must survive untouched
+    df = spark.read.parquet(*old)
     tmp_dir = bucket_dir + ".compact-tmp"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
 
     new_rel = []
+    # promote compacted files in, then remove ONLY the replaced originals
+    # (never a directory sweep — concurrent writers' files stay)
     for f in os.listdir(tmp_dir):
         if f.endswith(".parquet") and not f.startswith("."):
-            new_rel.append(os.path.join(f"bucket={bucket}", f))
-    # swap: move old out, promote tmp files in, then publish the manifest
-    trash = bucket_dir + ".old"
-    os.rename(bucket_dir, trash)
-    os.makedirs(bucket_dir)
-    for f in os.listdir(tmp_dir):
-        if f.endswith(".parquet") and not f.startswith("."):
-            os.rename(os.path.join(tmp_dir, f), os.path.join(bucket_dir, f))
+            os.rename(os.path.join(tmp_dir, f), os.path.join(bucket_dir, f"compact-{f}"))
+            new_rel.append(os.path.join(f"bucket={bucket}", f"compact-{f}"))
+    for f in old:
+        os.remove(f)
     import shutil
 
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    shutil.rmtree(trash, ignore_errors=True)
 
-    snap_dir = _snapshot_dir(out_dir)
-    os.makedirs(snap_dir, exist_ok=True)
-    seq = len([f for f in os.listdir(snap_dir) if f.endswith(".json")])
-    manifest = {
-        "seq": seq,
-        "ts": time.time(),
-        "compaction": True,
-        "files": sorted(new_rel),
-        "replaces": sorted(os.path.relpath(f, base) for f in old),
-        "buckets": [{"bucket": bucket}],
-    }
-    path = os.path.join(snap_dir, f"snap-{seq:05d}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    # row/failed counts of the compacted files from their footers/stats
+    # (the lazy df can't be re-counted: its source files are gone)
+    from ocr_api_spark.plans.pipeline import _bucket_stats
+
+    stats_rows = _bucket_stats({os.path.join(base, f) for f in new_rel}, 0.0)
+    write_snapshot(out_dir, set(new_rel), stats_rows, replaces=set(old), compaction=True)
     return {"bucket": bucket, "compacted": True, "files_before": len(old), "files_after": len(new_rel)}

@@ -70,10 +70,11 @@ def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
         c = data[i : i + 1]
         if c == b"\\":
             nxt = data[i + 1 : i + 2]
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt and nxt in b"01234567":  # octal escape, up to 3 OCTAL digits
+                # (bytes.isdigit would admit 8/9 and blow up int(_, 8))
                 j = i + 1
                 oct_digits = b""
-                while j < len(data) and len(oct_digits) < 3 and data[j : j + 1].isdigit():
+                while j < len(data) and len(oct_digits) < 3 and data[j : j + 1] in b"01234567":
                     oct_digits += data[j : j + 1]
                     j += 1
                 out.append(chr(int(oct_digits, 8)))
@@ -150,14 +151,15 @@ def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
             elif not in_text:
                 stack.clear()
             elif op == b"Tf":
-                size = float(stack[-1]) if stack else size
+                # operands may include the font name; only a number sets size
+                size = stack[-1] if stack and isinstance(stack[-1], float) else size
                 stack.clear()
             elif op == b"TL":
-                leading = float(stack[-1]) if stack else leading
+                leading = stack[-1] if stack and isinstance(stack[-1], float) else leading
                 stack.clear()
             elif op in (b"Td", b"TD"):
-                if len(stack) >= 2:
-                    tx, ty = float(stack[-2]), float(stack[-1])
+                if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
+                    tx, ty = stack[-2], stack[-1]
                     if op == b"TD":
                         leading = -ty
                     line_x += tx
@@ -165,8 +167,8 @@ def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
                     x, y = line_x, line_y
                 stack.clear()
             elif op == b"Tm":
-                if len(stack) >= 6:
-                    line_x, line_y = float(stack[-2]), float(stack[-1])
+                if len(stack) >= 6 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
+                    line_x, line_y = stack[-2], stack[-1]
                     x, y = line_x, line_y
                 stack.clear()
             elif op == b"T*":
@@ -254,7 +256,13 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
                 raise MiniPdfError("compressed content streams unsupported (no entropy codecs here)")
             sm = _STREAM_RE.search(content_obj)
             if sm:
-                spans = _tokenize_spans(sm.group(1), height)
+                try:
+                    spans = _tokenize_spans(sm.group(1), height)
+                except Exception as e:
+                    # a malformed-but-real PDF must be a MiniPdfError, not a
+                    # poison pill: callers route MiniPdfError to the OCR
+                    # fallback / None clip instead of failing the Spark task
+                    raise MiniPdfError(f"unparseable content stream: {type(e).__name__}: {e}") from e
         pages.append(PdfPage(spans, width, height))
     return pages
 

@@ -130,6 +130,42 @@ def credits_ledger_stream(claims: DataFrame, initial_credits: int = 1000) -> Dat
     )
 
 
+def merge_credits_batch(spark: SparkSession, accounts_path: str, batch_df: DataFrame, batch_id: int) -> bool:
+    """One idempotent MERGE: gate the batch against the current accounts
+    state, decrement admitted rows, commit the new snapshot atomically.
+
+    foreachBatch is at-least-once — a crash between the snapshot commit
+    and Spark's checkpoint commit re-delivers the batch — so the applied
+    ``batch_id`` travels INSIDE the accounts snapshot (one os.replace
+    covers both) and a replay with ``batch_id <= last`` is a no-op.
+    Returns whether the batch was applied."""
+    import os
+
+    from ocr_api_spark.operators.access import admitted, credit_decrements
+
+    accounts = spark.read.parquet(accounts_path)
+    if "__last_batch_id" in accounts.columns:
+        last = accounts.select(F.max("__last_batch_id")).collect()[0][0]
+        if last is not None and batch_id <= last:
+            return False  # already applied (foreachBatch replay)
+        gate_accounts = accounts.drop("__last_batch_id")
+    else:
+        gate_accounts = accounts
+
+    decs = credit_decrements(admitted(batch_df, gate_accounts)).collect()
+    dec_map = {r["company"]: int(r["credits_used"]) for r in decs}
+    acc_pdf = gate_accounts.toPandas()
+    acc_pdf["credits_left"] = [
+        int(c) - dec_map.get(co, 0)
+        for co, c in zip(acc_pdf["company"], acc_pdf["credits_left"])
+    ]
+    acc_pdf["__last_batch_id"] = batch_id
+    tmp = accounts_path + f".tmp-{batch_id}"
+    acc_pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, accounts_path)
+    return True
+
+
 def run_credits_merge_stream(
     spark: SparkSession, claims_dir: str, accounts_path: str, checkpoint_dir: str
 ) -> None:
@@ -150,26 +186,10 @@ def run_credits_merge_stream(
     Accounts are a per-company dim — tiny at any corpus scale — so the
     per-batch driver-side merge is bounded; the heavy side (requests)
     stays distributed through the gate and the groupBy."""
-    import os
-
-    from ocr_api_spark.operators.access import admitted, credit_decrements
-
     schema = spark.read.parquet(claims_dir).schema
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import pandas as pd
-
-        accounts = spark.read.parquet(accounts_path)
-        decs = credit_decrements(admitted(batch_df, accounts)).collect()
-        dec_map = {r["company"]: int(r["credits_used"]) for r in decs}
-        acc_pdf = accounts.toPandas()
-        acc_pdf["credits_left"] = [
-            int(c) - dec_map.get(co, 0)
-            for co, c in zip(acc_pdf["company"], acc_pdf["credits_left"])
-        ]
-        tmp = accounts_path + f".tmp-{batch_id}"
-        acc_pdf.to_parquet(tmp, index=False)
-        os.replace(tmp, accounts_path)
+        merge_credits_batch(spark, accounts_path, batch_df, batch_id)
 
     q = (
         spark.readStream.schema(schema)

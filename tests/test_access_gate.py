@@ -92,3 +92,31 @@ def test_credits_merge_stream_negative_policy(session, tmp_path):
     assert final["c2"] == -5
     # c3: access flag 0, never admitted
     assert final["c3"] == 7
+
+
+def test_credits_merge_batch_replay_is_idempotent(session, tmp_path):
+    """foreachBatch is at-least-once: replaying the same batch_id after a
+    crash must not double-decrement (the applied batch id travels inside
+    the accounts snapshot)."""
+    import pandas as pd
+
+    from ocr_api_spark.streaming.stream import merge_credits_batch
+
+    accounts_path = str(tmp_path / "accounts.parquet")
+    pd.DataFrame(
+        {
+            "company": ["c1"],
+            "access_flag": [1],
+            "credits_left": [10],
+            "is_negative_credit_allowed": [0],
+        }
+    ).to_parquet(accounts_path, index=False)
+    batch = session.createDataFrame(
+        [("u1", "c1", "pan"), ("u2", "c1", "pan")], "url string, company string, doc_type string"
+    )
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=0) is True
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=0) is False  # replay: no-op
+    row = session.read.parquet(accounts_path).collect()[0]
+    assert row["credits_left"] == 8  # decremented exactly once
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=1) is True
+    assert session.read.parquet(accounts_path).collect()[0]["credits_left"] == 6

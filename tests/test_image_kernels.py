@@ -258,7 +258,9 @@ def test_preprocess_for_osd_color_quirk(rgb):
 
 _GOLDEN = {
     "gray": "56a855b78933c5884b2d9abec2f55797",
-    "preprocess_image": "9214b47a12e0ac32a6a431f72766fc92",
+    # regenerated when adaptive_threshold_gaussian adopted cv2's true
+    # border mode (REPLICATE) + cvCeil(C)
+    "preprocess_image": "69b9e2814e467999742f40cabab03b9d",
     "enhance": "a724f030b3fb13ac20fde273caa2cffa",
     "osd": "95b43a5487cb0cda460ddf9cf22962a3",
     "rot90": "4a7111fe4aa4e45472fce62fbe0a7dcd",
