@@ -168,3 +168,39 @@ def test_pdf_clips_missing_page_and_bad_pdf(session):
     )
     rows = pdf_clips(pdfs, templates).collect()
     assert rows[0]["clip_text"] is None
+
+
+def test_malformed_pdf_is_not_a_poison_pill(session):
+    """A payload that starts with %PDF but has an unparseable content
+    stream (e.g. a bad octal escape) must route to the C4 fallback
+    (resolved text None -> status Failed), never fail the Spark task."""
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.operators.extract import fused_extract_udf
+
+    good = write_minimal_pdf([[(72, 72, 12, "Permanent Account Number"), (72, 90, 12, "ABCPS1234F")]])
+    # invalid octal escape: parses tolerantly (the \\8 is literal), never raises
+    odd = good.replace(b"(Permanent Account Number)", b"(C:\\8th-file after bad escape)")
+    # compressed stream: MiniPdfError -> no text -> the row fails, not the job
+    poison = good.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
+    df = session.createDataFrame(
+        [
+            ("ok", "", bytearray(good), "pan"),
+            ("odd", "", bytearray(odd), "pan"),
+            ("poison", "", bytearray(poison), "pan"),
+        ],
+        "url string, text string, html binary, doc_type string",
+    )
+    nulls = [F.lit(None).cast("string")] * 9
+    out = {
+        r["url"]: r
+        for r in df.withColumn(
+            "x", fused_extract_udf(F.col("text"), F.col("html"), F.col("doc_type"), *nulls)
+        )
+        .select("url", "x.status", "x.error")
+        .collect()
+    }
+    assert out["ok"]["status"] == "Completed"
+    assert out["odd"]["status"] == "Completed"  # tolerant parse, row survives
+    assert out["poison"]["status"] == "Failed"  # row failed, job survived
+    assert out["poison"]["error"] == "no text"
