@@ -64,7 +64,12 @@ def write_snapshot(
     if compaction:
         manifest["compaction"] = True
         manifest["replaces"] = sorted(rel(f) for f in (replaces or set()))
-    path = os.path.join(snap_dir, f"snap-{seq:05d}.json")
+    # uuid suffix: two CONCURRENT committers can compute the same seq
+    # (len-of-dir), and an identical filename would let one os.replace
+    # silently swallow the other's manifest; the name stays seq-ordered
+    import uuid
+
+    path = os.path.join(snap_dir, f"snap-{seq:05d}-{uuid.uuid4().hex[:8]}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
