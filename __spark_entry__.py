@@ -1054,6 +1054,66 @@ def _doc_pdf_roundtrip(spark, sf_dir):
     )
 
 
+def _write_expected_html_roundtrip(sf_dir: str) -> None:
+    """Differential oracle for the HTML boilerplate branch (the north
+    rule's flagship capability): wrap each document's text in
+    deterministic page chrome and strip it back — locally here, on the
+    cluster in the query; byte-equal or red."""
+    import os
+
+    if _EXPECTED_LAST.get("html_roundtrip") == sf_dir:
+        return
+    _EXPECTED_LAST["html_roundtrip"] = sf_dir
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_api_spark.kernels.boilerplate import extract_main_text
+    from ocr_api_spark.sources.doctexts import wrap_text_as_page
+
+    os.makedirs(_EXPECTED_DIR, exist_ok=True)
+    docs = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = docs[docs["doc_id"] < 100]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "main_text": [extract_main_text(wrap_text_as_page(t)) for t in docs["text"]],
+        }
+    ).to_parquet(os.path.join(_EXPECTED_DIR, "html_roundtrip_expected.parquet"), index=False)
+
+
+_HTML_ROUNDTRIP_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id, main_text
+FROM read_parquet('{_EXPECTED_DIR}/html_roundtrip_expected.parquet')
+"""
+
+
+def _doc_html_roundtrip(spark, sf_dir):
+    """Boilerplate strip in the driver gate: deterministic chrome wrap →
+    the distributed boilerplate UDF; exact vs the driver-side run."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    _write_expected_html_roundtrip(sf_dir)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+
+    @pandas_udf(StringType())
+    def roundtrip(texts):
+        from ocr_api_spark.kernels.boilerplate import extract_main_text
+        from ocr_api_spark.sources.doctexts import wrap_text_as_page
+
+        return texts.map(lambda t: extract_main_text(wrap_text_as_page(t)) if t is not None else None)
+
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), roundtrip("text").alias("main_text")
+    )
+
+
 _PAN_EXPECTED_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, status, ocr_name, ocr_dob
 FROM read_parquet('{_EXPECTED_DIR}/pan_expected.parquet')
@@ -1241,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pan_over_documents": _extract_pan_over_documents,
         "extract_all_branches": _extract_all_branches,
         "doc_pdf_roundtrip": _doc_pdf_roundtrip,
+        "doc_html_roundtrip": _doc_html_roundtrip,
         "doc_spans": _doc_spans,
         "doc_simhash": _doc_simhash,
         "doc_simhash_bands": _doc_simhash_bands,
@@ -1258,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         try:
             _write_expected_extractions(default_sf)
             _write_expected_pdf_roundtrip(default_sf)
+            _write_expected_html_roundtrip(default_sf)
         except Exception:
             pass  # queries() regenerates for its own sf_dir anyway
     return {
@@ -1300,4 +1362,5 @@ def oracle_sql() -> dict[str, str]:
         "extract_pan_over_documents": _PAN_EXPECTED_SQL,
         "extract_all_branches": _BRANCHES_EXPECTED_SQL,
         "doc_pdf_roundtrip": _PDF_ROUNDTRIP_SQL,
+        "doc_html_roundtrip": _HTML_ROUNDTRIP_SQL,
     }

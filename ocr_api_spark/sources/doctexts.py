@@ -338,6 +338,25 @@ def web_paragraph(rng: random.Random, n_words: int, intl: bool = False) -> str:
     return " ".join(rng.choice(pool) for _ in range(n_words)).capitalize() + "."
 
 
+def wrap_text_as_page(text: str) -> str:
+    """Deterministic chrome wrapper (no RNG): the given text becomes the
+    page's article paragraphs surrounded by nav/menu/footer boilerplate.
+    Shared by the Spark boilerplate-roundtrip query and its driver-side
+    oracle, so both sides build byte-identical HTML."""
+    words = [w for w in text.split(" ") if w]
+    paras = "".join(
+        "<p>" + " ".join(words[i : i + 25]).capitalize() + ".</p>" for i in range(0, len(words), 25)
+    )
+    nav = "<nav>" + "".join(f'<a href="/{w}">{w}</a> ' for w in words[:6]) + "</nav>"
+    menu = '<div class="menu">' + " | ".join(f'<a href="/m{i}">menu</a>' for i in range(5)) + "</div>"
+    footer = "<footer>" + "".join(f'<a href="/f{i}">legal</a>' for i in range(4)) + "</footer>"
+    title = " ".join(words[:4]).capitalize()
+    return (
+        f"<html><head><title>{title}</title><script>var x=1;</script></head>"
+        f"<body>{nav}{menu}<article><h1>{title}</h1>{paras}</article>{footer}</body></html>"
+    )
+
+
 def web_page_html(rng: random.Random, n_paras: tuple[int, int] = (2, 5), para_words: tuple[int, int] = (20, 60)):
     """A synthetic web page: chrome (nav/menus/footer, high link density)
     wrapping long content paragraphs.  Returns (html, main_text) where
