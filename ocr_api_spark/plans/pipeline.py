@@ -157,7 +157,11 @@ def dedupe_pages(pages: DataFrame) -> DataFrame:
 
 
 def _data_files(out_path: str) -> set[str]:
-    """All parquet data files under the bucket-partitioned output."""
+    """All parquet data files under the bucket-partitioned output.
+    Local-filesystem walk — the parquet-emulation counterpart of reading
+    an Iceberg snapshot manifest; an object-store deployment uses the
+    table format's manifest (plans/sink.py snapshot_files) instead of
+    listing."""
     found = set()
     for root, _dirs, files in os.walk(out_path):
         for f in files:
