@@ -866,6 +866,98 @@ FROM embeddings GROUP BY label
 """
 
 
+def _doc_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (MOSS scheme): ordered k-gram hashes →
+    sliding-window min → distinct — the rolling-hash document
+    fingerprint for containment/near-dup detection.  md5-derived 60-bit
+    hashes make it engine-portable; the plan is shuffle-free until the
+    final explode."""
+    from ocr_api_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return winnowing_fingerprints(docs, "text", k=3, w=4).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "fingerprint"
+    )
+
+
+_DOC_WINNOW_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 100
+),
+idx AS (
+  SELECT doc_id, words, unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS i FROM words
+),
+sh AS (
+  SELECT doc_id, i, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM idx WHERE length(array_to_string(words[i:i+2], ' ')) > 0
+),
+h AS (SELECT doc_id, i, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS hash FROM sh),
+pos AS (
+  SELECT doc_id, hash, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+),
+wins AS (
+  SELECT doc_id, p, n,
+         min(hash) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM pos
+)
+SELECT DISTINCT doc_id::BIGINT AS doc_id, fingerprint
+FROM wins WHERE p <= greatest(n - 3, 1)
+"""
+
+
+def _emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH candidates + exact
+    cosine cut (threshold tuned to the synthetic data's similarity
+    range; production near-dup uses ~0.95 on real embeddings)."""
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        near_dup_pairs(emb, 0.35)
+        .withColumn("id_a", F.col("id_a").cast("bigint"))
+        .withColumn("id_b", F.col("id_b").cast("bigint"))
+    )
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding,
+    ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+   + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+   + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)) AS bucket
+  FROM embeddings
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 3)::DOUBLE AS cosine
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+) WHERE cosine >= 0.35
+"""
+
+
+def _doc_bpe_tokens(spark, sf_dir):
+    """Token budgeting: whitespace count vs the BPE-ish pre-tokenizer
+    count, both JVM-side column expressions."""
+    from ocr_api_spark.operators.textstats import with_bpe_token_count, with_token_count
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return with_bpe_token_count(with_token_count(docs)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "token_count", "bpe_token_count"
+    )
+
+
+_DOC_BPE_SQL = r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(string_split(text, ' '))::BIGINT AS token_count,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))::BIGINT AS bpe_token_count
+FROM documents WHERE doc_id < 200
+"""
+
+
 # --- IVF ANN: fixed coarse centroids (the SQL-expressible assignment +
 # probe-restricted re-rank; k-means training is covered in pytest) ----------
 
@@ -1305,6 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans": _doc_spans,
         "doc_simhash": _doc_simhash,
         "doc_simhash_bands": _doc_simhash_bands,
+        "doc_winnowing": _doc_winnowing,
+        "emb_near_dup": _emb_near_dup,
+        "doc_bpe_tokens": _doc_bpe_tokens,
     }
 
 
@@ -1359,6 +1454,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_centroid": _EMB_CENTROID_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,
+        "doc_winnowing": _DOC_WINNOW_SQL,
+        "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "doc_bpe_tokens": _DOC_BPE_SQL,
         "extract_pan_over_documents": _PAN_EXPECTED_SQL,
         "extract_all_branches": _BRANCHES_EXPECTED_SQL,
         "doc_pdf_roundtrip": _PDF_ROUNDTRIP_SQL,

@@ -112,6 +112,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, n: int, id_col: str = "doc
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, k: int = 3, w: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): ordered word k-gram hashes → min of every w-length
+    sliding window → distinct selected hashes.  Guarantees any shared
+    run of ≥ w+k-1 words between two documents shares a fingerprint.
+
+    All JVM-side array expressions — one row per doc until the final
+    explode, NO shuffle.  The 60-bit hash is the first 15 hex chars of
+    md5 (engine-portable: DuckDB reproduces it with ('0x'||…)::BIGINT).
+    Documents shorter than w windows contribute their single global
+    min; empty docs contribute nothing."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    shingles = F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+        lambda s: F.length(s) > 0,
+    )
+    hashes = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(hashes)
+    windows = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w), lambda j: F.array_min(F.slice(hashes, j + 1, w))
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return df.select(
+        id_col, F.explode(F.array_distinct(windows)).alias("fingerprint")
+    )
+
+
 def _hex_digit_bits(h, b):
     """Bit ``b`` (0..63, MSB-first within each hex digit) of the 16-hex-char
     string ``h``.  Integer-only arithmetic so the identical formula runs in

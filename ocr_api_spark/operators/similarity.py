@@ -50,6 +50,39 @@ def with_sign_bucket(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -
     return df.withColumn("bucket", bucket.cast("bigint"))
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket candidates
+    (identical first-``bits`` sign pattern) + exact cosine ≥ threshold.
+    The only shuffle is the bucket-keyed self-join — candidates shrink
+    ~2^bits before any pairwise math, the scale shape for near-dup
+    detection over 10^12 embeddings (recall bounded by the LSH buckets,
+    like every banded scheme).  Cosine rounded to 3 dp on both engines
+    before the threshold so the cut is cross-engine stable."""
+    b = with_sign_bucket(df, vec_col, bits).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"), "bucket"
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    lv, rv = F.col("l.__v"), F.col("r.__v")
+    cos = F.round(_dot(lv, rv) / (_norm(lv) * _norm(rv)), 3).cast("double")
+    return (
+        left.join(right, "bucket")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id", bits: int = 8
 ) -> DataFrame:

@@ -22,6 +22,22 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("token_count", F.size(F.split(F.col(text_col), " ")).cast("bigint"))
 
 
+# GPT-2-ish pre-tokenizer shape: letter runs, 1-3 digit runs, single
+# punctuation marks — the cheap upper-bound estimate of BPE token count
+# a data pipeline uses for budget accounting before real tokenization.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count via the pre-tokenizer regex (JVM-side
+    regexp_extract_all, no Python)."""
+    return df.withColumn(
+        "bpe_token_count",
+        # idx=0 = the whole match (Spark defaults to capture group 1)
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).cast("bigint"),
+    )
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shallow quality features: chars, tokens, mean token length,
     punctuation density — the reference's line-sanitize ratios
