@@ -142,3 +142,65 @@ def test_ivf_ann_recall(session):
     # determinism: same seed -> same assignment
     assigned2, centroids2 = build_ivf(df, k=4)
     assert centroids == centroids2
+
+
+def test_winnowing_guarantee(session):
+    """Winnowing's core guarantee: two documents sharing a run of at
+    least w+k-1 words share at least one fingerprint; disjoint texts
+    share none."""
+    from ocr_api_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words >= w+k-1 = 6
+    docs = session.createDataFrame(
+        [
+            (0, f"intro words here {shared} tail one"),
+            (1, f"totally different head {shared}"),
+            (2, "unrelated content about nothing shared at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1]  # shared run -> shared fingerprint
+    assert not (by_doc[0] & by_doc[2])
+    # short doc (< w windows) still contributes its global min
+    short = session.createDataFrame([(9, "just four tiny words")], "doc_id long, text string")
+    assert winnowing_fingerprints(short, "text").count() == 1
+
+
+def test_winnowing_plan_is_shuffle_free(session):
+    from ocr_api_spark.operators.dedup import winnowing_fingerprints
+
+    docs = session.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = winnowing_fingerprints(docs, "text")._sc._jvm.PythonSQLUtils.explainString(
+        winnowing_fingerprints(docs, "text")._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_near_dup_pairs_finds_identical_vectors(session):
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    base = [0.5, -0.25, 0.75, -1.0, 0.1, 0.2, -0.3, 0.4] + [0.0] * 8
+    near = [v * 1.01 for v in base]  # same direction -> cosine ~1
+    opposite = [-v for v in base]
+    rows = [(1, base), (2, near), (3, opposite), (4, [1.0] * 16)]
+    df = session.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in near_dup_pairs(df, 0.9).collect()}
+    assert pairs[(1, 2)] >= 0.999
+    assert (1, 3) not in pairs  # opposite sign pattern -> different bucket
+    assert (1, 4) not in pairs  # different bucket and low cosine
+
+
+def test_bpe_token_count_semantics(session):
+    from ocr_api_spark.operators.textstats import with_bpe_token_count
+
+    df = session.createDataFrame(
+        [(1, "hello, world! x2024 a-b")], "doc_id long, text string"
+    )
+    out = with_bpe_token_count(df).collect()[0]
+    # hello , world ! x 2024->202+4 a - b  => 10 pre-tokens
+    assert out["bpe_token_count"] == 10
