@@ -88,6 +88,31 @@ def windowed_doc_counts(extracted: DataFrame, window: str = "1 hour", watermark:
     )
 
 
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "lang",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Gap-based sessionization ON A STREAM via the native
+    ``session_window`` (Catalyst-managed state, merges on late data
+    within the watermark) — the declarative form of the batch
+    events_sessions window chain; no custom state code."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), key_col)
+        .agg(F.count("*").alias("docs"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            key_col,
+            "docs",
+        )
+    )
+
+
 def credits_stream(claims: DataFrame, initial_credits: int = 1000) -> DataFrame:
     """Per-company running credit decrement (J5): each claim consumes one
     credit.  Expressed as a streaming aggregate (complete mode) — at

@@ -204,3 +204,57 @@ def test_malformed_pdf_is_not_a_poison_pill(session):
     assert out["odd"]["status"] == "Completed"  # tolerant parse, row survives
     assert out["poison"]["status"] == "Failed"  # row failed, job survived
     assert out["poison"]["error"] == "no text"
+
+
+def test_pdf_roundtrip_property():
+    """Property: for any layout of printable-latin-1 words at distinct
+    line positions, write→parse reproduces the exact line structure."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=12,
+    )
+    line = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=8))
+    def check(lines):
+        spans = [(72.0, 72.0 + 20.0 * i, 10.0, ln) for i, ln in enumerate(lines)]
+        pdf = write_minimal_pdf([spans])
+        got = parse_pdf(pdf)[0].extract_text()
+        assert got == "\n".join(lines)
+
+    check()
+
+
+def test_pdf_from_text_roundtrip_property():
+    """pdf_from_text→pdf_text preserves the word sequence for any
+    space-separated latin-1 text (whitespace-normalized)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_api_spark.sources.pdftext import pdf_from_text
+
+    # printable latin-1 minus unicode whitespace (\xa0 would be eaten by
+    # the .split() normalization below, not by the parser)
+    word = st.text(
+        alphabet=st.characters(
+            min_codepoint=33, max_codepoint=255, blacklist_characters="\xad\xa0"
+        ).filter(lambda c: not (127 <= ord(c) <= 160)),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(word, min_size=0, max_size=80))
+    def check(words):
+        text = " ".join(words)
+        out = pdf_text(pdf_from_text(text))
+        assert out.replace("\n", " ").split() == [
+            w.encode("latin-1", errors="replace").decode("latin-1") for w in words
+        ]
+
+    check()

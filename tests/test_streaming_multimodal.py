@@ -172,3 +172,31 @@ def test_signature_operator(session):
     assert out["is_horizontal"] == "True"
     assert out["is_straight_line"] == "True"
     assert out["needs_rotation"] == "False"
+
+
+def test_stream_session_windows(session, synth, tmp_path):
+    """Native session_window gap sessionization on the pages stream:
+    sessions close after the gap, counts per key add up to the input."""
+    import os
+
+    from ocr_api_spark.streaming.stream import read_pages_stream, sessionized_stream
+
+    stream_dir = str(tmp_path / "pages_stream")
+    os.makedirs(stream_dir)
+    os.link(synth["pages"], os.path.join(stream_dir, "pages.parquet"))
+
+    q = (
+        sessionized_stream(read_pages_stream(session, stream_dir), gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = session.sql("select * from sessions_out").collect()
+    assert rows, "no sessions produced"
+    assert sum(r["docs"] for r in rows) == 120  # every event in exactly one session
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
