@@ -211,6 +211,35 @@ def _bucket_stats(new_files: set[str], wall_s: float) -> list[tuple]:
     return [(b, r, f, wall_s) for b, (r, f) in sorted(per_bucket.items()) if r]
 
 
+def _append_table(dir_path: str, columns: dict) -> None:
+    """Append one parquet file of driver-local rows to a table directory
+    (int64/float64/string columns; timestamps as float seconds — the
+    schema the metrics/lineage readers expect)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    table = pa.table(
+        {
+            k: (
+                pa.array([_ts_us(v) for v in vals], type=pa.timestamp("us"))
+                if k == "attempt_ts"
+                else pa.array(vals)
+            )
+            for k, vals in columns.items()
+        }
+    )
+    pq.write_table(table, os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+def _ts_us(epoch_s: float):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(epoch_s, tz=datetime.timezone.utc).replace(tzinfo=None)
+
+
 def run_extraction(
     spark: SparkSession,
     pages_path: str,
@@ -272,12 +301,24 @@ def run_extraction(
     wall_now = round(time.time() - t0, 3)
     stats_rows = _bucket_stats(new_files, wall_now)
     if stats_rows:
-        stats = spark.createDataFrame(
-            stats_rows, "bucket int, rows_out bigint, rows_failed bigint, wall_s double"
-        ).withColumn("attempt_ts", F.current_timestamp())
-        stats.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
-        stats.select("bucket").distinct().write.mode("append").parquet(
-            os.path.join(out_dir, "lineage")
+        # metrics + lineage are driver-local lists (one row per bucket);
+        # writing them through Spark jobs is pure scheduling overhead, so
+        # append single-file parquet directly — spark.read.parquet reads
+        # the directories identically, and the tables stay tiny at any
+        # corpus scale (rows ∝ n_buckets, not data)
+        _append_table(
+            os.path.join(out_dir, "metrics"),
+            {
+                "bucket": [r[0] for r in stats_rows],
+                "rows_out": [r[1] for r in stats_rows],
+                "rows_failed": [r[2] for r in stats_rows],
+                "wall_s": [r[3] for r in stats_rows],
+                "attempt_ts": [time.time()] * len(stats_rows),
+            },
+        )
+        _append_table(
+            os.path.join(out_dir, "lineage"),
+            {"bucket": sorted({r[0] for r in stats_rows})},
         )
         # Iceberg-shaped commit record: which files this run added, with
         # per-bucket counts (plans/sink.py — verify_sink/compact_bucket
