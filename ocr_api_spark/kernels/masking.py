@@ -67,6 +67,24 @@ def mask_aadhaar_regions(
     return regions
 
 
+def apply_mask_regions(img, regions: list[dict]):
+    """Black out the mask rectangles in the pixel array — the
+    cv2.rectangle(..., (0,0,0), thickness=-1) of app.py:5775, with cv2's
+    clip-to-image behavior.  Works on gray (H×W) or color (H×W×C)."""
+    import numpy as np
+
+    out = np.array(img, copy=True)
+    h, w = out.shape[:2]
+    for r in regions:
+        x0 = max(0, int(r["x_min"]))
+        y0 = max(0, int(r["y_min"]))
+        x1 = min(w, int(r["x_max"]))
+        y1 = min(h, int(r["y_max"]))
+        if x1 > x0 and y1 > y0:
+            out[y0:y1, x0:x1] = 0
+    return out
+
+
 def order_tokens_reading(tokens: list[tuple[str, float, list[list[int]]]], y_band: int = 10):
     """Bounding-box reading-order sort (SURVEY.md §2.6 I13): the
     reference trusts PaddleOCR's output order (app.py:2167); when token

@@ -300,6 +300,45 @@ def with_mask_regions(df: DataFrame, tokens_col: str = "tokens", h_col: str = "i
     return df.withColumn("mask_regions", mask_udf(F.col(tokens_col), F.col(h_col), F.col(w_col)))
 
 
+def with_masked_image_b64(
+    df: DataFrame, payload_col: str = "payload", tokens_col: str = "tokens"
+) -> DataFrame:
+    """The S13 sink, end-to-end: decode the ``.npy`` image payload,
+    compute the Aadhaar mask rectangles from the OCR token table (I11),
+    black them out in the pixels (app.py:5775), and emit the masked
+    image base64-encoded (app.py:4888-4893 returns base64 JPEG; the
+    encode here is base64 of the masked ``.npy`` bytes — the JPEG
+    entropy codec is the documented environment gate, everything else
+    is the real dataflow).  Undecodable payloads yield NULL."""
+    import base64
+    import io
+
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ocr_api_spark.kernels.masking import apply_mask_regions
+
+    @pandas_udf(StringType())
+    def mask_b64(payloads: pd.Series, tokens: pd.Series) -> pd.Series:
+        out = []
+        for payload, toks in zip(payloads, tokens):
+            arr = _Decoder._try_npy(payload)
+            if arr is None:
+                out.append(None)
+                continue
+            if toks is None:
+                toks = []
+            triples = [(t["text"], t["conf"], t["box"]) for t in toks]
+            regions = mask_aadhaar_regions(triples, int(arr.shape[0]), int(arr.shape[1]))
+            masked = apply_mask_regions(arr, regions)
+            buf = io.BytesIO()
+            np.save(buf, masked, allow_pickle=False)
+            out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+        return pd.Series(out)
+
+    return df.withColumn("masked_image_b64", mask_b64(F.col(payload_col), F.col(tokens_col)))
+
+
 def with_token_text(df: DataFrame, tokens_col: str = "tokens", conf_threshold: float = 0.0) -> DataFrame:
     """Reading-order sort + confidence-thresholded merge → the OCR-text
     IR (kernel I13/S7 analog)."""

@@ -205,3 +205,31 @@ def test_preocr_chain_composes_with_structured_streaming(session, tmp_path):
     rows = {r["url"]: r for r in session.sql("select * from preocr_stream").collect()}
     assert rows["s1"]["chain_status"] == "ok" and rows["s1"]["osd_angle"] == 0
     assert rows["s2"]["chain_status"] == "undecodable"
+
+
+def test_masked_image_b64_sink(session):
+    """S13 end-to-end: Aadhaar token -> mask rectangles -> pixels
+    blacked out -> base64 payload that round-trips to the masked image
+    (reference /api/mask-aadhaar, app.py:5784+)."""
+    import base64
+
+    from ocr_api_spark.operators.multimodal import with_masked_image_b64
+
+    img = np.full((100, 240), 200, np.uint8)
+    tokens = [
+        {"text": "1234 5678 9012", "conf": 0.99,
+         "box": [[20, 40], [140, 40], [140, 60], [20, 60]]},
+        {"text": "hello", "conf": 0.9, "box": [[0, 0], [10, 0], [10, 12], [0, 12]]},
+    ]
+    df = session.createDataFrame(
+        [("m1", _npy_bytes(img), tokens), ("m2", b"not-npy", tokens)],
+        "url string, payload binary, tokens array<struct<text:string,conf:float,box:array<array<int>>>>",
+    )
+    out = {r["url"]: r["masked_image_b64"] for r in with_masked_image_b64(df).collect()}
+    assert out["m2"] is None
+    masked = np.load(io.BytesIO(base64.b64decode(out["m1"])), allow_pickle=False)
+    assert masked.shape == img.shape
+    # mask covers the first 8/12ths of the box width: (140-20)//12*8 = 80
+    assert masked[41:60, 20:100].max() == 0  # blacked out
+    assert masked[41:60, 101:140].min() == 200  # last 4 digits visible
+    assert masked[0:12, 0:10].min() == 200  # non-aadhaar token untouched
