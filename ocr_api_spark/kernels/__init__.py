@@ -18,6 +18,7 @@ from ocr_api_spark.kernels import (  # noqa: F401
     image,
     masking,
     matching,
+    ocr_adapters,
     pan,
     passport,
     signature,
