@@ -678,11 +678,12 @@ WHERE round(o.overlap / (sa.n_sh + sb.n_sh - o.overlap), 4) >= 0.01
 
 
 def _doc_minhash_lsh(spark, sf_dir):
-    from ocr_api_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+    """MinHash+LSH with signatures as a pure projection (array fold, no
+    shingle explode) — the band self-join is the plan's only shuffle."""
+    from ocr_api_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures_arr
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    sh = word_shingles(docs, "text", 3)
-    sigs = minhash_signatures(sh, k=4)
+    sigs = minhash_signatures_arr(docs, "text", 3, k=4)
     pairs = lsh_candidate_pairs(sigs, bands=[(0, 1), (2, 3)])
     return pairs.select(
         F.col("id_a").cast("bigint").alias("id_a"), F.col("id_b").cast("bigint").alias("id_b")

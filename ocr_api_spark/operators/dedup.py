@@ -51,13 +51,42 @@ def exact_duplicate_stats(df: DataFrame, text_col: str = "text", group_col: str 
 
 
 def minhash_signatures(shingled: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
-    """k min-hashes per doc.  Hash h_i(s) = md5(i || ':' || s); taking the
-    MIN of the hex string is a valid min-hash (uniform order) and is
-    bit-identical across Spark and DuckDB."""
+    """k min-hashes per doc from an exploded shingle table.  Hash
+    h_i(s) = md5(i || ':' || s); taking the MIN of the hex string is a
+    valid min-hash (uniform order) and is bit-identical across Spark
+    and DuckDB.  Costs a shuffle (groupBy doc) — prefer
+    ``minhash_signatures_arr`` when starting from the text column."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}") for i in range(k)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_arr(
+    df: DataFrame, text_col: str, n: int, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """k min-hashes per doc as a PURE PROJECTION: the distinct-shingle
+    array never leaves the row, each signature is an ``array_min`` over
+    a ``transform`` — zero shuffle until the LSH band join, which is
+    then the ONLY exchange in the whole near-dup plan.  Semantics are
+    identical to word_shingles→minhash_signatures (same hash, same
+    distinct-shingle set), so the same DuckDB oracle holds.  Docs with
+    no shingles get NULL signatures (array_min of empty) and are
+    dropped, matching the exploded form which never emits them."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.filter(
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))),
+        lambda s: F.length(s) > 0,
+    )
+    def mh(j: int):
+        # nb: a 2-arg lambda would make transform pass (element, index),
+        # so the seed binds through this helper instead of a default arg
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"mh{j}")
+
+    return df.select(id_col, *[mh(j) for j in range(k)]).where(F.col("mh0").isNotNull())
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: list[tuple[int, ...]], id_col: str = "doc_id") -> DataFrame:

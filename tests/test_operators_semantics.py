@@ -204,3 +204,28 @@ def test_bpe_token_count_semantics(session):
     out = with_bpe_token_count(df).collect()[0]
     # hello , world ! x 2024->202+4 a - b  => 10 pre-tokens
     assert out["bpe_token_count"] == 10
+
+
+def test_minhash_projection_equals_exploded_form(session, near_dup_docs):
+    """The array-fold signatures must equal the explode→groupBy form
+    bit-for-bit (same hash, same distinct-shingle set)."""
+    from ocr_api_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_arr,
+        word_shingles,
+    )
+
+    exploded = {
+        tuple(r) for r in minhash_signatures(word_shingles(near_dup_docs, "text", 3), k=4).collect()
+    }
+    projected = {tuple(r) for r in minhash_signatures_arr(near_dup_docs, "text", 3, k=4).collect()}
+    assert exploded == projected
+
+
+def test_minhash_projection_plan_no_preband_shuffle(session):
+    from ocr_api_spark.operators.dedup import minhash_signatures_arr
+
+    docs = session.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = minhash_signatures_arr(docs, "text", 3, k=4)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan  # pure projection until the band join
