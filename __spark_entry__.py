@@ -871,8 +871,8 @@ def _doc_winnowing(spark, sf_dir):
     """Winnowing fingerprints (MOSS scheme): ordered k-gram hashes →
     sliding-window min → distinct — the rolling-hash document
     fingerprint for containment/near-dup detection.  md5-derived 60-bit
-    hashes make it engine-portable; the plan is shuffle-free until the
-    final explode."""
+    hashes make it engine-portable; computed as a codegen'd SQL window
+    over exploded shingles (one doc-keyed shuffle, linear in words)."""
     from ocr_api_spark.operators.dedup import winnowing_fingerprints
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
@@ -1052,7 +1052,6 @@ def _write_expected_extractions(sf_dir: str) -> None:
 
     if _EXPECTED_LAST.get("extractions") == sf_dir:
         return
-    _EXPECTED_LAST["extractions"] = sf_dir
 
     import pandas as pd
     import pyarrow.parquet as pq
@@ -1087,6 +1086,8 @@ def _write_expected_extractions(sf_dir: str) -> None:
             "status": br_out["status"].astype(object),
         }
     ).to_parquet(os.path.join(_EXPECTED_DIR, "branches_expected.parquet"), index=False)
+    # memoize only after a SUCCESSFUL write: a failed attempt must retry
+    _EXPECTED_LAST["extractions"] = sf_dir
 
 
 def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
@@ -1097,7 +1098,6 @@ def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
 
     if _EXPECTED_LAST.get("pdf_roundtrip") == sf_dir:
         return
-    _EXPECTED_LAST["pdf_roundtrip"] = sf_dir
 
     import pandas as pd
     import pyarrow.parquet as pq
@@ -1118,6 +1118,8 @@ def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
             "pdf_text": [pdf_text(pdf_from_text(t)) for t in docs["text"]],
         }
     ).to_parquet(os.path.join(_EXPECTED_DIR, "pdf_roundtrip_expected.parquet"), index=False)
+    # memoize only after a SUCCESSFUL write: a failed attempt must retry
+    _EXPECTED_LAST["pdf_roundtrip"] = sf_dir
 
 
 _PDF_ROUNDTRIP_SQL = f"""
@@ -1156,7 +1158,6 @@ def _write_expected_html_roundtrip(sf_dir: str) -> None:
 
     if _EXPECTED_LAST.get("html_roundtrip") == sf_dir:
         return
-    _EXPECTED_LAST["html_roundtrip"] = sf_dir
 
     import pandas as pd
     import pyarrow.parquet as pq
@@ -1178,6 +1179,8 @@ def _write_expected_html_roundtrip(sf_dir: str) -> None:
             "main_text": [extract_main_text(wrap_text_as_page(t)) for t in docs["text"]],
         }
     ).to_parquet(os.path.join(_EXPECTED_DIR, "html_roundtrip_expected.parquet"), index=False)
+    # memoize only after a SUCCESSFUL write: a failed attempt must retry
+    _EXPECTED_LAST["html_roundtrip"] = sf_dir
 
 
 _HTML_ROUNDTRIP_SQL = f"""

@@ -70,7 +70,8 @@ def mask_aadhaar_regions(
 def apply_mask_regions(img, regions: list[dict]):
     """Black out the mask rectangles in the pixel array — the
     cv2.rectangle(..., (0,0,0), thickness=-1) of app.py:5775, with cv2's
-    clip-to-image behavior.  Works on gray (H×W) or color (H×W×C)."""
+    clip-to-image behavior.  cv2 fills BOTH corner pixels inclusive, so
+    the slice end is max+1.  Works on gray (H×W) or color (H×W×C)."""
     import numpy as np
 
     out = np.array(img, copy=True)
@@ -78,8 +79,8 @@ def apply_mask_regions(img, regions: list[dict]):
     for r in regions:
         x0 = max(0, int(r["x_min"]))
         y0 = max(0, int(r["y_min"]))
-        x1 = min(w, int(r["x_max"]))
-        y1 = min(h, int(r["y_max"]))
+        x1 = min(w, int(r["x_max"]) + 1)
+        y1 = min(h, int(r["y_max"]) + 1)
         if x1 > x0 and y1 > y0:
             out[y0:y1, x0:x1] = 0
     return out

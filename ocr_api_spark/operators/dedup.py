@@ -26,16 +26,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _shingle_array(text_col: str, n: int, distinct: bool = True):
+    """Word n-gram shingle array (ordered; optionally distinct, empties
+    filtered) — THE shingle definition every operator and every DuckDB
+    oracle shares; change it here and nowhere else.
+
+    Built as n-1 chained ``zip_with`` concats over shifted slices, NOT a
+    ``transform`` over start indices: a lambda that captures the split
+    array re-evaluates the whole split per element (Spark evaluates
+    higher-order lambdas interpreted, inlining the captured chain), which
+    measured O(words²·len) on long documents.  zip_with inputs are plain
+    child expressions, evaluated once per row per level.  Null-padding of
+    the shorter slice is folded like concat_ws (skip), so short documents
+    produce the same single partial shingle as before."""
+    words = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(words) - n, F.lit(0)) + 1
+    shingles = F.slice(words, 1, m)
+    for i in range(1, n):
+        shingles = F.zip_with(
+            shingles,
+            F.slice(words, i + 1, m),
+            lambda a, b: F.when(b.isNull(), a).otherwise(F.concat(a, F.lit(" "), b)),
+        )
+    if distinct:
+        shingles = F.array_distinct(shingles)
+    return F.filter(shingles, lambda s: F.length(s) > 0)
+
+
 def word_shingles(df: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id_col, shingle)."""
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    return (
-        df.select(id_col, F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
-    )
+    return df.select(
+        id_col, F.explode(_shingle_array(text_col, n)).alias("shingle")
+    ).distinct()
 
 
 def exact_duplicate_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
@@ -73,20 +95,20 @@ def minhash_signatures_arr(
     distinct-shingle set), so the same DuckDB oracle holds.  Docs with
     no shingles get NULL signatures (array_min of empty) and are
     dropped, matching the exploded form which never emits them."""
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    shingles = F.filter(
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))),
-        lambda s: F.length(s) > 0,
-    )
+    # materialize the shingle array ONCE per row in its own projection;
+    # the k signature expressions reference the alias multiple times, so
+    # CollapseProject keeps the projection and the shingle chain is not
+    # re-built k times inside the folds
+    shingled = df.select(id_col, _shingle_array(text_col, n).alias("__sh"))
+
     def mh(j: int):
         # nb: a 2-arg lambda would make transform pass (element, index),
         # so the seed binds through this helper instead of a default arg
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
         ).alias(f"mh{j}")
 
-    return df.select(id_col, *[mh(j) for j in range(k)]).where(F.col("mh0").isNotNull())
+    return shingled.select(id_col, *[mh(j) for j in range(k)]).where(F.col("mh0").isNotNull())
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: list[tuple[int, ...]], id_col: str = "doc_id") -> DataFrame:
@@ -153,29 +175,37 @@ def winnowing_fingerprints(
     explode, NO shuffle.  The 60-bit hash is the first 15 hex chars of
     md5 (engine-portable: DuckDB reproduces it with ('0x'||…)::BIGINT).
     Documents shorter than w windows contribute their single global
-    min; empty docs contribute nothing."""
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
-    shingles = F.filter(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-        lambda s: F.length(s) > 0,
+    min; empty docs contribute nothing.
+
+    Shape note: computed as posexplode + a codegen'd SQL window min
+    (ROWS BETWEEN CURRENT AND w-1 FOLLOWING) — one shuffle keyed by the
+    high-cardinality doc id.  Every array-expression formulation was
+    measured SUPERLINEAR on long documents (Spark evaluates
+    higher-order lambdas interpreted, and inlining re-evaluates the
+    hash chain per window position), while the window form is linear
+    and whole-stage-generated; at 10^12 docs a linear doc-keyed shuffle
+    beats a quadratic projection.  This is also exactly the DuckDB
+    oracle's shape."""
+    from pyspark.sql.window import Window
+
+    sh = df.select(
+        id_col,
+        F.posexplode(_shingle_array(text_col, k, distinct=False)).alias("__pos", "__shingle"),
+    ).withColumn("__h", F.conv(F.substring(F.md5("__shingle"), 1, 15), 16, 10).cast("long"))
+    part = Window.partitionBy(id_col)
+    win = part.orderBy("__pos").rowsBetween(0, w - 1)
+    out = sh.select(
+        id_col,
+        F.min("__h").over(win).alias("fingerprint"),
+        F.col("__pos"),
+        F.count("*").over(part).alias("__n"),
     )
-    hashes = F.transform(
-        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    )
-    n = F.size(hashes)
-    windows = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(0), n - w), lambda j: F.array_min(F.slice(hashes, j + 1, w))
-        ),
-    ).otherwise(
-        F.when(n > 0, F.array(F.array_min(hashes))).otherwise(
-            F.array().cast("array<bigint>")
-        )
-    )
-    return df.select(
-        id_col, F.explode(F.array_distinct(windows)).alias("fingerprint")
+    # valid window starts: pos <= n-w; short docs keep the single
+    # truncated window at pos 0 (min over all < w hashes)
+    return (
+        out.where((F.col("__pos") <= F.col("__n") - w) | ((F.col("__n") < w) & (F.col("__pos") == 0)))
+        .select(id_col, "fingerprint")
+        .distinct()
     )
 
 
@@ -201,13 +231,9 @@ def simhash64(df: DataFrame, text_col: str, n: int = 3, id_col: str = "doc_id") 
     md5's first 16 hex chars) and ``band0``..``band3`` are its four
     16-bit Hamming bands — group on a band to get near-dup candidates.
     md5 is engine-portable, so the whole signature is DuckDB-oracleable."""
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    shingles = F.filter(
-        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))),
-        lambda s: F.length(s) > 0,
+    hexes = F.transform(
+        _shingle_array(text_col, n), lambda s: F.substring(F.md5(s), 1, 16)
     )
-    hexes = F.transform(shingles, lambda s: F.substring(F.md5(s), 1, 16))
     votes = F.aggregate(
         hexes,
         F.array_repeat(F.lit(0), 64),

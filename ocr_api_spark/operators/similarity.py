@@ -64,13 +64,19 @@ def near_dup_pairs(
     detection over 10^12 embeddings (recall bounded by the LSH buckets,
     like every banded scheme).  Cosine rounded to 3 dp on both engines
     before the threshold so the cut is cross-engine stable."""
+    # per-row norm computed ONCE before the self-join: the pairwise
+    # stage is quadratic in bucket size, so only the dot product should
+    # pay O(d) there
     b = with_sign_bucket(df, vec_col, bits).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"), "bucket"
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        "bucket",
     )
+    b = b.withColumn("__nrm", _norm(F.col("__v")))
     left = b.alias("l")
     right = b.alias("r")
     lv, rv = F.col("l.__v"), F.col("r.__v")
-    cos = F.round(_dot(lv, rv) / (_norm(lv) * _norm(rv)), 3).cast("double")
+    cos = F.round(_dot(lv, rv) / (F.col("l.__nrm") * F.col("r.__nrm")), 3).cast("double")
     return (
         left.join(right, "bucket")
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

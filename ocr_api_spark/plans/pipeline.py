@@ -66,12 +66,15 @@ def with_salt(df: DataFrame, n_salts: int, hot_hosts: list[str] | None = None) -
 
 
 def read_completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
+    """Buckets already committed (resume input).  ONLY a missing lineage
+    table means 'first run' — any other read failure must surface, or a
+    corrupt/mixed-schema lineage would silently re-extract every bucket
+    and duplicate the output."""
     lineage_path = os.path.join(out_dir, "lineage")
-    try:
-        rows = spark.read.parquet(lineage_path).select("bucket").distinct().collect()
-    except Exception:  # first run: no lineage yet
+    if not os.path.isdir(lineage_path):
         return []
-    return [r["bucket"] for r in rows]
+    rows = spark.read.parquet(lineage_path).select("bucket").distinct().collect()
+    return [int(r["bucket"]) for r in rows]
 
 
 def extraction_plan(
@@ -212,21 +215,29 @@ def _bucket_stats(new_files: set[str], wall_s: float) -> list[tuple]:
 
 
 def _append_table(dir_path: str, columns: dict) -> None:
-    """Append one parquet file of driver-local rows to a table directory
-    (int64/float64/string columns; timestamps as float seconds — the
-    schema the metrics/lineage readers expect)."""
+    """Append one parquet file of driver-local rows to a table directory.
+    Column types pin the schema Spark's writer used for these tables
+    (bucket int32, counts int64, wall float64, attempt_ts UTC-adjusted
+    timestamp) so old and new files in one directory always merge."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    types = {
+        "bucket": pa.int32(),
+        "rows_out": pa.int64(),
+        "rows_failed": pa.int64(),
+        "wall_s": pa.float64(),
+        "attempt_ts": pa.timestamp("us", tz="UTC"),
+    }
     os.makedirs(dir_path, exist_ok=True)
     table = pa.table(
         {
             k: (
-                pa.array([_ts_us(v) for v in vals], type=pa.timestamp("us"))
+                pa.array([_ts_us(v) for v in vals], type=types[k])
                 if k == "attempt_ts"
-                else pa.array(vals)
+                else pa.array(vals, type=types[k])
             )
             for k, vals in columns.items()
         }
@@ -237,7 +248,7 @@ def _append_table(dir_path: str, columns: dict) -> None:
 def _ts_us(epoch_s: float):
     import datetime
 
-    return datetime.datetime.fromtimestamp(epoch_s, tz=datetime.timezone.utc).replace(tzinfo=None)
+    return datetime.datetime.fromtimestamp(epoch_s, tz=datetime.timezone.utc)
 
 
 def run_extraction(

@@ -229,7 +229,9 @@ def test_masked_image_b64_sink(session):
     assert out["m2"] is None
     masked = np.load(io.BytesIO(base64.b64decode(out["m1"])), allow_pickle=False)
     assert masked.shape == img.shape
-    # mask covers the first 8/12ths of the box width: (140-20)//12*8 = 80
-    assert masked[41:60, 20:100].max() == 0  # blacked out
-    assert masked[41:60, 101:140].min() == 200  # last 4 digits visible
+    # mask covers the first 8/12ths of the box width: (140-20)//12*8 = 80,
+    # corners INCLUSIVE (cv2.rectangle thickness=-1 fills both endpoints)
+    assert masked[40:61, 20:101].max() == 0  # blacked out incl. boundary px
+    assert masked[40:61, 101:140].min() == 200  # last 4 digits visible
+    assert masked[39, 20:101].min() == 200  # row above the box untouched
     assert masked[0:12, 0:10].min() == 200  # non-aadhaar token untouched

@@ -170,15 +170,37 @@ def test_winnowing_guarantee(session):
     assert winnowing_fingerprints(short, "text").count() == 1
 
 
-def test_winnowing_plan_is_shuffle_free(session):
+def test_winnowing_plan_shape(session):
+    """Window-based sliding min: exactly one shuffle (hash on the
+    high-cardinality doc key), codegen'd window, no Python — the linear
+    shape (every array-lambda formulation measured superlinear on long
+    docs because Spark re-evaluates captured chains per element)."""
     from ocr_api_spark.operators.dedup import winnowing_fingerprints
 
     docs = session.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = winnowing_fingerprints(docs, "text")._sc._jvm.PythonSQLUtils.explainString(
-        winnowing_fingerprints(docs, "text")._jdf.queryExecution(), "formatted"
-    )
-    assert "Exchange" not in plan
+    df = winnowing_fingerprints(docs, "text")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Window" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted explain names nodes tersely; the details section shows the
+    # hashpartitioning argument
+    assert "Exchange" in plan
+
+
+def test_shingle_ops_scale_linearly(session):
+    """Regression guard for the split-in-lambda trap: 16k-word docs must
+    process in seconds, not minutes (the transform-over-indices shingle
+    builder measured O(words^2))."""
+    import time
+
+    from ocr_api_spark.operators.dedup import winnowing_fingerprints
+
+    text = " ".join(f"w{i % 97}x{i % 13}" for i in range(16000))
+    df = session.createDataFrame([(i, text) for i in range(4)], "doc_id long, text string")
+    winnowing_fingerprints(df, "text").count()  # warm
+    t0 = time.time()
+    winnowing_fingerprints(df, "text").count()
+    assert time.time() - t0 < 30, "shingle construction went superlinear again"
 
 
 def test_near_dup_pairs_finds_identical_vectors(session):
