@@ -843,12 +843,19 @@ def _emb_label_centroid_norm(spark, sf_dir):
     order-independent, and the final double division + round then agree
     bit-for-bit across engines."""
     emb = _t(spark, sf_dir, "embeddings")
+    # ``+ 0.0`` normalizes IEEE signed zero: DuckDB's round() keeps -0.0
+    # for a tiny negative mean while Spark returns +0.0; the values
+    # compare equal but hash differently (round-2 red row).
     first4 = [
-        F.round(
-            F.sum(F.element_at("embedding", i + 1).cast("double").cast("decimal(28,12)"))
-            .cast("double")
-            / F.count(F.lit(1)),
-            3,
+        (
+            F.round(
+                F.sum(
+                    F.element_at("embedding", i + 1).cast("double").cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                3,
+            )
+            + F.lit(0.0)
         ).alias(f"c{i}")
         for i in range(4)
     ]
@@ -859,10 +866,10 @@ def _emb_label_centroid_norm(spark, sf_dir):
 
 _EMB_CENTROID_SQL = """
 SELECT label::INT AS label, count(*)::BIGINT AS n,
-       round(sum((embedding[1]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE AS c0,
-       round(sum((embedding[2]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE AS c1,
-       round(sum((embedding[3]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE AS c2,
-       round(sum((embedding[4]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE AS c3
+       (round(sum((embedding[1]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE + 0.0) AS c0,
+       (round(sum((embedding[2]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE + 0.0) AS c1,
+       (round(sum((embedding[3]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE + 0.0) AS c2,
+       (round(sum((embedding[4]::DOUBLE)::DECIMAL(28,12))::DOUBLE / count(*), 3)::DOUBLE + 0.0) AS c3
 FROM embeddings GROUP BY label
 """
 
@@ -1029,10 +1036,31 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 _EXPECTED_DIR = "/root/repo/dist/oracle_expected"
 _BRANCH_TYPES = ["pan", "aadhaar", "bank", "financial", "dl", "passport"]
-# the expected files live at fixed paths, so remember which sf_dir each
-# kind was last generated for: repeated calls for the same SF (three
-# queries + oracle_sql per evaluation) do the driver-side kernel run once
-_EXPECTED_LAST: dict[str, str] = {}
+# expected files are keyed per-SF (filename suffix + corpus_key column), so
+# interleaved SFs never clobber each other; memoize successful writes per
+# (kind, sf_dir) so repeated calls for one SF run the driver-side kernel once
+_EXPECTED_DONE: set[tuple[str, str]] = set()
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import os
+    import re
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return re.sub(r"[^A-Za-z0-9._-]", "_", base) or "default"
+
+
+def _corpus_key(texts) -> int:
+    """Total character count of the documents table — distinguishes every
+    test SF (153156 / 149174 / 1485576) and is computable identically in
+    DuckDB as sum(length(text)); NULL texts are skipped on both sides."""
+    return int(texts.str.len().sum())
+
+
+# the oracle SQL globs over every per-SF expected file and selects the one
+# whose corpus_key matches the registered documents view, so oracle and
+# query always agree even if the harness interleaves SFs
+_CORPUS_KEY_SQL = "(SELECT sum(length(text))::BIGINT FROM documents)"
 
 
 def _write_expected_extractions(sf_dir: str) -> None:
@@ -1043,14 +1071,10 @@ def _write_expected_extractions(sf_dir: str) -> None:
     with read_parquet.  Distributed execution must therefore equal local
     kernel execution row-for-row — and the kernel itself is differentially
     parity-tested against the reference (tests/test_reference_parity.py).
-
-    The oracle SQL embeds fixed paths, so the files describe the sf_dir of
-    the most recent queries()/oracle_sql() call; the driver evaluates one SF
-    at a time, so query and oracle always see the same data.
     """
     import os
 
-    if _EXPECTED_LAST.get("extractions") == sf_dir:
+    if ("extractions", sf_dir) in _EXPECTED_DONE:
         return
 
     import pandas as pd
@@ -1073,8 +1097,11 @@ def _write_expected_extractions(sf_dir: str) -> None:
             "status": pan_out["status"].astype(object),
             "ocr_name": [(p or {}).get("ocr_name") for p in pan_out["pan"]],
             "ocr_dob": [(p or {}).get("ocr_dob") for p in pan_out["pan"]],
+            "corpus_key": _corpus_key(docs["text"]),
         }
-    ).to_parquet(os.path.join(_EXPECTED_DIR, "pan_expected.parquet"), index=False)
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"pan_expected_{_sf_tag(sf_dir)}.parquet"), index=False
+    )
 
     br = docs[docs["doc_id"] < 600].reset_index(drop=True)
     types = pd.Series([_BRANCH_TYPES[int(d) % 6] for d in br["doc_id"]])
@@ -1084,10 +1111,13 @@ def _write_expected_extractions(sf_dir: str) -> None:
             "doc_id": br["doc_id"].astype("int64"),
             "doc_type": types.astype(object),
             "status": br_out["status"].astype(object),
+            "corpus_key": _corpus_key(docs["text"]),
         }
-    ).to_parquet(os.path.join(_EXPECTED_DIR, "branches_expected.parquet"), index=False)
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"branches_expected_{_sf_tag(sf_dir)}.parquet"), index=False
+    )
     # memoize only after a SUCCESSFUL write: a failed attempt must retry
-    _EXPECTED_LAST["extractions"] = sf_dir
+    _EXPECTED_DONE.add(("extractions", sf_dir))
 
 
 def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
@@ -1096,7 +1126,7 @@ def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
     driver-side locally, Spark-side distributed; byte-equal or red."""
     import os
 
-    if _EXPECTED_LAST.get("pdf_roundtrip") == sf_dir:
+    if ("pdf_roundtrip", sf_dir) in _EXPECTED_DONE:
         return
 
     import pandas as pd
@@ -1111,20 +1141,26 @@ def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    key = _corpus_key(docs["text"])
     docs = docs[docs["doc_id"] < 50]
     pd.DataFrame(
         {
             "doc_id": docs["doc_id"].astype("int64"),
             "pdf_text": [pdf_text(pdf_from_text(t)) for t in docs["text"]],
+            "corpus_key": key,
         }
-    ).to_parquet(os.path.join(_EXPECTED_DIR, "pdf_roundtrip_expected.parquet"), index=False)
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"pdf_roundtrip_expected_{_sf_tag(sf_dir)}.parquet"),
+        index=False,
+    )
     # memoize only after a SUCCESSFUL write: a failed attempt must retry
-    _EXPECTED_LAST["pdf_roundtrip"] = sf_dir
+    _EXPECTED_DONE.add(("pdf_roundtrip", sf_dir))
 
 
 _PDF_ROUNDTRIP_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, pdf_text
-FROM read_parquet('{_EXPECTED_DIR}/pdf_roundtrip_expected.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/pdf_roundtrip_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = {_CORPUS_KEY_SQL}
 """
 
 
@@ -1156,7 +1192,7 @@ def _write_expected_html_roundtrip(sf_dir: str) -> None:
     cluster in the query; byte-equal or red."""
     import os
 
-    if _EXPECTED_LAST.get("html_roundtrip") == sf_dir:
+    if ("html_roundtrip", sf_dir) in _EXPECTED_DONE:
         return
 
     import pandas as pd
@@ -1172,20 +1208,26 @@ def _write_expected_html_roundtrip(sf_dir: str) -> None:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    key = _corpus_key(docs["text"])
     docs = docs[docs["doc_id"] < 100]
     pd.DataFrame(
         {
             "doc_id": docs["doc_id"].astype("int64"),
             "main_text": [extract_main_text(wrap_text_as_page(t)) for t in docs["text"]],
+            "corpus_key": key,
         }
-    ).to_parquet(os.path.join(_EXPECTED_DIR, "html_roundtrip_expected.parquet"), index=False)
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"html_roundtrip_expected_{_sf_tag(sf_dir)}.parquet"),
+        index=False,
+    )
     # memoize only after a SUCCESSFUL write: a failed attempt must retry
-    _EXPECTED_LAST["html_roundtrip"] = sf_dir
+    _EXPECTED_DONE.add(("html_roundtrip", sf_dir))
 
 
 _HTML_ROUNDTRIP_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, main_text
-FROM read_parquet('{_EXPECTED_DIR}/html_roundtrip_expected.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/html_roundtrip_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = {_CORPUS_KEY_SQL}
 """
 
 
@@ -1212,12 +1254,14 @@ def _doc_html_roundtrip(spark, sf_dir):
 
 _PAN_EXPECTED_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, status, ocr_name, ocr_dob
-FROM read_parquet('{_EXPECTED_DIR}/pan_expected.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/pan_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = {_CORPUS_KEY_SQL}
 """
 
 _BRANCHES_EXPECTED_SQL = f"""
 SELECT doc_id::BIGINT AS doc_id, doc_type, status
-FROM read_parquet('{_EXPECTED_DIR}/branches_expected.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/branches_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = {_CORPUS_KEY_SQL}
 """
 
 

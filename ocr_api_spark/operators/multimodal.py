@@ -205,7 +205,15 @@ def preocr_chain(df: DataFrame, payload_col: str = "payload", osd_fn=None) -> Da
                 if arr.ndim == 2:
                     img, angle = im.osd_angle_with_retry(arr, fn)
                 else:
-                    img, angle = arr, im.parse_osd_rotate(fn(arr))
+                    # mirror the grayscale cascade's failure handling: the
+                    # reference swallows TesseractError and proceeds with
+                    # angle 0 (app.py OSD call sites); without this a single
+                    # poison color image would fail the whole Spark task
+                    try:
+                        angle = im.parse_osd_rotate(fn(arr))
+                    except im.OsdError:
+                        angle = 0
+                    img = arr
                 img = im.correct_rotation(img, angle)
                 img = im.upscale_image(img, 2.0)
                 img = im.enhance_contrast_and_sharpen(
@@ -251,7 +259,7 @@ def with_signature_verdicts(df: DataFrame, img_col: str = "img") -> DataFrame:
             if img is None:
                 rows.append({k.name: None for k in SIGNATURE_SCHEMA.fields})
                 continue
-            arr = np.array([list(r) for r in img], dtype=np.uint8)
+            arr = np.asarray(img.tolist() if hasattr(img, "tolist") else list(img), dtype=np.uint8)
             verdict = classify_signature(arr)
             rows.append({k: str(v) for k, v in verdict.items()})
         return pd.DataFrame(rows, columns=[f.name for f in SIGNATURE_SCHEMA.fields])

@@ -120,6 +120,21 @@ def test_preocr_chain_retry_uses_preprocessed_image(session):
     assert (row["out_h"], row["out_w"]) == (80, 120)
 
 
+def test_preocr_chain_poison_color_image_defaults_to_zero(session, payload_df):
+    """An OSD source that raises on a COLOR image must not fail the Spark
+    task: the reference swallows TesseractError and continues with angle 0
+    (color images skip the CLAHE retry, which would itself raise)."""
+    from ocr_api_spark.kernels.image import OsdError
+    from ocr_api_spark.operators.multimodal import preocr_chain
+
+    def poison(_img):
+        raise OsdError("boom")
+
+    out = {r["url"]: r for r in preocr_chain(payload_df, osd_fn=poison).collect()}
+    assert out["u1"]["chain_status"] == "ok" and out["u1"]["osd_angle"] == 0
+    assert out["u2"]["chain_status"] == "ok" and out["u2"]["osd_angle"] == 0
+
+
 def test_e4_passport_lifecycle_end_to_end(session):
     """E4 (reference /api/extract-passport-info, app.py:5634-5726) across
     the whole new chain: .npy image payload → OSD gate + rotate +
