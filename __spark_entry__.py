@@ -1143,10 +1143,15 @@ def _write_expected_pdf_roundtrip(sf_dir: str) -> None:
     )
     key = _corpus_key(docs["text"])
     docs = docs[docs["doc_id"] < 50]
+    # odd doc_ids write /FlateDecode content streams (same rule in the
+    # Spark UDF), so the driver gate covers the compressed parse path too
     pd.DataFrame(
         {
             "doc_id": docs["doc_id"].astype("int64"),
-            "pdf_text": [pdf_text(pdf_from_text(t)) for t in docs["text"]],
+            "pdf_text": [
+                pdf_text(pdf_from_text(t, compress=bool(d % 2)))
+                for d, t in zip(docs["doc_id"], docs["text"])
+            ],
             "corpus_key": key,
         }
     ).to_parquet(
@@ -1175,13 +1180,21 @@ def _doc_pdf_roundtrip(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
 
     @pandas_udf(StringType())
-    def roundtrip(texts):
+    def roundtrip(doc_ids, texts):
+        import pandas as pd
+
         from ocr_api_spark.sources.pdftext import pdf_from_text, pdf_text
 
-        return texts.map(lambda t: pdf_text(pdf_from_text(t)) if t is not None else None)
+        return pd.Series(
+            [
+                pdf_text(pdf_from_text(t, compress=bool(int(d) % 2))) if t is not None else None
+                for d, t in zip(doc_ids, texts)
+            ]
+        )
 
     return docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), roundtrip("text").alias("pdf_text")
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        roundtrip("doc_id", "text").alias("pdf_text"),
     )
 
 

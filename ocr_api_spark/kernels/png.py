@@ -1,0 +1,225 @@
+"""Pure-numpy PNG codec: stdlib ``zlib`` inflate + spec §9 row
+unfiltering (None/Sub/Up/Average/Paeth), 8-bit gray / RGB / palette /
+gray+alpha / RGBA, non-interlaced.
+
+Two consumers share this module:
+
+- the multimodal image branch (``operators/multimodal._Decoder``)
+  decodes real PNG payloads into the cv2 array convention the
+  reference's ``cv2.imread`` produces (app.py:419-443 raster path):
+  2-D uint8 for grayscale, H×W×3 **BGR** for color, H×W×4 **BGRA**
+  when an alpha channel is present;
+- the PDF text layer (``sources/pdftext``) applies the same row
+  unfiltering to ``/FlateDecode`` streams with PNG predictors
+  (``/Predictor >= 10``).
+
+``encode_png`` is the fixture writer: it can apply any filter type
+per row, so decode tests exercise every unfilter branch by
+round-trip.  Scanline unfiltering for Sub/Average/Paeth is inherently
+sequential per byte; those rows fall back to a Python loop — fine for
+the batch-UDF sizes this feeds (documents, not video frames), and
+filter-0/Up rows (the common case for synthetic fixtures) stay
+vectorized.  JPEG (Huffman+DCT) remains the genuine environment gate.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class PngError(Exception):
+    pass
+
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def unfilter_scanlines(data: bytes, row_bytes: int, bpp: int) -> bytes:
+    """Invert PNG row filtering: ``data`` is rows of (1 filter byte +
+    ``row_bytes`` payload); returns the concatenated raw rows.  ``bpp``
+    is the byte distance to the pixel to the left (PNG spec: filters
+    operate on bytes, not samples)."""
+    stride = row_bytes + 1
+    if row_bytes <= 0 or bpp <= 0:
+        raise PngError(f"bad geometry row_bytes={row_bytes} bpp={bpp}")
+    n_rows, rem = divmod(len(data), stride)
+    if rem or n_rows == 0:
+        raise PngError(f"filtered data length {len(data)} not a multiple of stride {stride}")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(n_rows, stride)
+    out = np.zeros((n_rows, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int32)
+    for r in range(n_rows):
+        ftype = int(raw[r, 0])
+        row = raw[r, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up — vectorized, no intra-row dependency
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential
+            cur = np.zeros(row_bytes, dtype=np.int32)
+            for i in range(row_bytes):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.tobytes()
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array in cv2 convention: 2-D grayscale,
+    H×W×3 BGR, or H×W×4 BGRA (gray+alpha expands to BGRA so the
+    alpha-flatten step downstream sees one shape per alpha image)."""
+    if not data.startswith(_SIGNATURE):
+        raise PngError("not a PNG payload")
+    pos = len(_SIGNATURE)
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise PngError(f"truncated {ctype!r} chunk")
+        pos += 12 + length  # length + type + payload + crc (crc not verified)
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise PngError("missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8:
+        raise PngError(f"bit depth {depth} unsupported (8-bit only)")
+    if comp != 0 or filt != 0:
+        raise PngError("nonzero compression/filter method")
+    if interlace != 0:
+        raise PngError("Adam7 interlace unsupported")
+    channels = _CHANNELS.get(color_type)
+    if channels is None:
+        raise PngError(f"color type {color_type} unsupported")
+    if width == 0 or height == 0:
+        raise PngError("zero-dimension image")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise PngError(f"bad IDAT zlib stream: {e}") from e
+    row_bytes = width * channels
+    pix = np.frombuffer(unfilter_scanlines(raw, row_bytes, channels), dtype=np.uint8)
+    arr = pix.reshape(height, width, channels)
+    if color_type == 3:  # palette → RGB rows
+        if plte is None or len(plte) % 3:
+            raise PngError("palette image without a valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise PngError("palette index out of range")
+        arr = pal[idx]
+        channels = 3
+    if channels == 1:
+        return arr[:, :, 0].copy()
+    if channels == 2:  # gray+alpha → BGRA
+        g = arr[:, :, 0]
+        return np.dstack([g, g, g, arr[:, :, 1]]).copy()
+    if channels == 3:  # RGB → BGR
+        return arr[:, :, ::-1].copy()
+    return arr[:, :, [2, 1, 0, 3]].copy()  # RGBA → BGRA
+
+
+def _filter_row(row: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    """Apply (not invert) one spec filter — the encoder side, so
+    round-trip tests prove unfilter_scanlines inverts every branch."""
+    n = row.shape[0]
+    r = row.astype(np.int32)
+    p = prev.astype(np.int32)
+    out = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        a = int(r[i - bpp]) if i >= bpp else 0
+        b = int(p[i])
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        elif ftype == 4:
+            c = int(p[i - bpp]) if i >= bpp else 0
+            q = a + b - c
+            pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise PngError(f"unknown filter type {ftype}")
+        out[i] = (r[i] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_types: int | list[int] = 0) -> bytes:
+    """Fixture writer: uint8 array (2-D gray, H×W×3 BGR, H×W×4 BGRA —
+    the same convention ``decode_png`` returns) → PNG bytes.
+    ``filter_types`` selects the per-row filter (int for all rows, or
+    one per row) so tests can exercise each unfilter branch."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, channels = 0, 1
+        rgb = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, channels = 2, 3
+        rgb = a[:, :, ::-1]  # BGR → RGB
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type, channels = 6, 4
+        rgb = a[:, :, [2, 1, 0, 3]]  # BGRA → RGBA
+    else:
+        raise PngError(f"unsupported array shape {a.shape}")
+    height, width = a.shape[0], a.shape[1]
+    if isinstance(filter_types, int):
+        filter_types = [filter_types] * height
+    if len(filter_types) != height:
+        raise PngError("one filter type per row required")
+    rows = rgb.reshape(height, width * channels)
+    body = bytearray()
+    prev = np.zeros(width * channels, dtype=np.uint8)
+    for r in range(height):
+        ftype = int(filter_types[r])
+        body.append(ftype)
+        body += _filter_row(rows[r], prev, ftype, channels).tobytes()
+        prev = rows[r]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )

@@ -50,11 +50,15 @@ class _Decoder:
 
     Backends, in order:
     - ``numpy``: payloads that parse as ``.npy`` arrays (H×W or H×W×C
-      uint8) run the REAL preprocessing kernels (``kernels/image.py``:
-      alpha flatten → grayscale → the PAN pre-OCR chain) and emit real
-      image statistics as the feature vector.  JPEG/PNG entropy codecs
-      need cv2/PIL which this container lacks, so .npy is the decoded-
-      pixel interchange format.
+      uint8) — the decoded-pixel interchange format.
+    - ``png``: real PNG bytes via the pure-numpy codec in
+      ``kernels/png.py`` (zlib inflate + row unfiltering), decoded to
+      the same cv2 BGR/BGRA convention ``cv2.imdecode`` yields in the
+      reference flow (app.py:419-443, 5099).
+    Both run the REAL preprocessing kernels (``kernels/image.py``:
+    alpha flatten → grayscale → the PAN pre-OCR chain) and emit real
+    image statistics as the feature vector.  JPEG's Huffman+DCT needs
+    cv2/PIL which this container lacks — the remaining honest gate.
     - ``fake``: anything else yields a deterministic md5-derived
       feature, so opaque test payloads still flow through the same
       batch shape."""
@@ -91,10 +95,39 @@ class _Decoder:
             return None
         return arr
 
+    @staticmethod
+    def _try_png(payload: bytes):
+        import numpy as np
+
+        if payload is None or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            return None
+        from ocr_api_spark.kernels.png import PngError, decode_png
+
+        try:
+            arr = decode_png(payload)
+        except PngError:
+            return None
+        if arr.ndim not in (2, 3) or arr.dtype != np.uint8 or arr.size == 0:
+            return None
+        return arr
+
+    @classmethod
+    def _try_pixels(cls, payload: bytes):
+        """(array, kind) for any decodable payload — 'numpy' | 'png' —
+        else (None, None).  Arrays follow the cv2 convention (2-D gray,
+        BGR, BGRA)."""
+        arr = cls._try_npy(payload)
+        if arr is not None:
+            return arr, "numpy"
+        arr = cls._try_png(payload)
+        if arr is not None:
+            return arr, "png"
+        return None, None
+
     def decode(self, payload: bytes) -> tuple[list[float], str]:
         if payload is None:
             return [], "empty"
-        arr = self._try_npy(payload)
+        arr, kind = self._try_pixels(payload)
         if arr is not None:
             import numpy as np
 
@@ -119,7 +152,7 @@ class _Decoder:
                 1.0 if float(gray[:2].mean()) > 200 else 0.0,  # light top border
                 float(otsu_threshold(gray)),
             ]
-            return feature, "numpy"
+            return feature, kind
         # deterministic 8-dim fake feature: md5 bytes scaled to [0, 1)
         digest = hashlib.md5(payload).digest()
         return [b / 255.0 for b in digest[:8]], "fake"
@@ -190,7 +223,7 @@ def preocr_chain(df: DataFrame, payload_col: str = "payload", osd_fn=None) -> Da
             out = {k: [] for k in ("url", "osd_angle", "out_h", "out_w", "chain_status", "processed")}
             for url, payload in zip(pdf["url"], pdf[payload_col]):
                 out["url"].append(url)
-                arr = _Decoder._try_npy(payload)
+                arr, _kind = _Decoder._try_pixels(payload)
                 if arr is None:
                     out["osd_angle"].append(None)
                     out["out_h"].append(None)
@@ -330,7 +363,7 @@ def with_masked_image_b64(
     def mask_b64(payloads: pd.Series, tokens: pd.Series) -> pd.Series:
         out = []
         for payload, toks in zip(payloads, tokens):
-            arr = _Decoder._try_npy(payload)
+            arr, _kind = _Decoder._try_pixels(payload)
             if arr is None:
                 out.append(None)
                 continue

@@ -8,13 +8,18 @@ The reference reads PDFs two ways:
   y+h-15)).extract_text()`` with a wider retry box ``(x, y-10, x+w+50,
   y+h-5)`` when the first clip is empty.
 
-This module implements those two surfaces over *uncompressed* PDF
-content streams (PDF 1.4, no /Filter): BT/ET text objects, Tf sizing,
-Td/TD/Tm/T*/TL positioning, Tj/TJ/' show ops, literal and hex strings.
-Compressed streams raise ``MiniPdfError`` — entropy decoding is the
-documented environment gate, exactly like image codecs in the
-multimodal branch.  ``write_minimal_pdf`` emits the same subset, so
-fixtures round-trip bit-deterministically.
+This module implements those two surfaces over PDF 1.4 content
+streams: BT/ET text objects, Tf sizing, Td/TD/Tm/T*/TL positioning,
+Tj/TJ/' show ops, literal and hex strings.  Streams may be stored
+raw, ``/FlateDecode`` (stdlib zlib, including PNG predictors via the
+shared unfilter in kernels/png.py), or ``/ASCIIHexDecode`` — which
+covers virtually every real-world *text* content stream; only
+LZW/DCT/JBIG2-style entropy codecs remain out of scope and raise
+``MiniPdfError``.  Stream bodies are sliced by ``/Length`` (direct or
+indirect) rather than regex-scanned, so compressed bytes that happen
+to contain ``endstream``/``endobj`` cannot truncate the parse.
+``write_minimal_pdf`` emits the same subset (optionally
+Flate-compressed), so fixtures round-trip bit-deterministically.
 
 Geometry conventions (pdfplumber-compatible): bboxes are (x0, top, x1,
 bottom) with ``top`` measured DOWN from the page top; PDF device space
@@ -230,39 +235,201 @@ class PdfPage:
         return "\n".join(out)
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj")
+_STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
+_ENDSTREAM_RE = re.compile(rb"endstream")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s*\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _length_of(header: bytes, data: bytes) -> int | None:
+    """Resolve the /Length entry of a stream dict — direct integer or an
+    indirect reference looked up anywhere in the file (the referenced
+    length object is a bare integer, safe to regex)."""
+    dm = _LENGTH_DIRECT_RE.search(header)
+    if dm:
+        return int(dm.group(1))
+    rm = _LENGTH_REF_RE.search(header)
+    if rm:
+        lm = re.search(
+            rb"(?<![\d])" + rm.group(1) + rb"\s+0\s+obj\s*(\d+)\s*endobj", data
+        )
+        if lm:
+            return int(lm.group(1))
+    return None
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """num → (header/dict bytes, raw stream payload or None).  Stream
+    bodies are sliced by /Length when available so binary (compressed)
+    payloads containing ``endstream``/``endobj`` can't truncate the
+    scan; regex-to-endstream is only the no-Length fallback."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    while True:
+        hm = _OBJ_HEAD_RE.search(data, pos)
+        if not hm:
+            break
+        num = int(hm.group(1))
+        body_start = hm.end()
+        sm = _STREAM_KW_RE.search(data, body_start)
+        em = data.find(b"endobj", body_start)
+        if sm and (em == -1 or sm.start() < em):
+            header = data[body_start : sm.start()]
+            payload_start = sm.end()
+            length = _length_of(header, data)
+            if length is not None and payload_start + length <= len(data):
+                payload = data[payload_start : payload_start + length]
+                tail = _ENDSTREAM_RE.search(data, payload_start + length)
+            else:
+                tail = _ENDSTREAM_RE.search(data, payload_start)
+                if not tail:
+                    break
+                payload = data[payload_start : tail.start()].rstrip(b"\r\n")
+            if not tail:
+                break
+            objects[num] = (header, payload)
+            em = data.find(b"endobj", tail.end())
+            pos = (em + 6) if em != -1 else tail.end()
+        else:
+            if em == -1:
+                objects[num] = (data[body_start:], None)
+                break
+            objects[num] = (data[body_start:em], None)
+            pos = em + 6
+    return objects
+
+
+def _decode_stream(header: bytes, raw: bytes) -> bytes:
+    """Apply the /Filter chain.  FlateDecode is stdlib zlib (with PNG
+    predictors via kernels/png.unfilter_scanlines); ASCIIHexDecode is
+    trivial; anything else (LZW/DCT/...) is the documented entropy-codec
+    gate and raises MiniPdfError."""
+    fm = _FILTER_RE.search(header)
+    if not fm:
+        return raw
+    data = raw
+    for name in _NAME_RE.findall(fm.group(1)):
+        if name == b"FlateDecode":
+            import zlib
+
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise MiniPdfError(f"bad Flate stream: {e}") from e
+            pm = _PREDICTOR_RE.search(header)
+            pred = int(pm.group(1)) if pm else 1
+            if pred >= 10:  # PNG row predictors share the image unfilter
+                from ocr_api_spark.kernels.png import PngError, unfilter_scanlines
+
+                cols = int(m.group(1)) if (m := _COLUMNS_RE.search(header)) else 1
+                colors = int(m.group(1)) if (m := _COLORS_RE.search(header)) else 1
+                bpc = int(m.group(1)) if (m := _BPC_RE.search(header)) else 8
+                row_bytes = (cols * colors * bpc + 7) // 8
+                bpp = max(1, colors * bpc // 8)
+                try:
+                    data = unfilter_scanlines(data, row_bytes, bpp)
+                except PngError as e:
+                    raise MiniPdfError(f"bad Flate predictor data: {e}") from e
+            elif pred > 1:
+                raise MiniPdfError(f"unsupported /Predictor {pred}")
+        elif name == b"ASCIIHexDecode":
+            hx = re.sub(rb"[\s>]", b"", data)
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                data = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError) as e:
+                raise MiniPdfError(f"bad ASCIIHex stream: {e}") from e
+        else:
+            raise MiniPdfError(f"unsupported stream filter /{name.decode('ascii')}")
+    return data
+
+
+def _page_order(objects: dict[int, tuple[bytes, bytes | None]], page_nums: list[int]) -> list[int]:
+    """Document order from the page tree: walk /Kids depth-first from
+    the /Pages node(s) (ADVICE r2 — object-number order scrambles
+    corpora whose writers number pages out of order).  Falls back to
+    object-number order when no tree resolves."""
+    roots = [
+        n
+        for n, (hdr, _) in objects.items()
+        if b"/Type" in hdr and b"/Pages" in hdr and _KIDS_RE.search(hdr)
+    ]
+    page_set = set(page_nums)
+    referenced = {
+        int(r)
+        for n in roots
+        for r in _REF_RE.findall(_KIDS_RE.search(objects[n][0]).group(1))
+    }
+    top = [n for n in roots if n not in referenced] or roots
+    ordered: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen:  # cycle guard
+            return
+        seen.add(num)
+        if num in page_set:
+            if num not in ordered:
+                ordered.append(num)
+            return
+        entry = objects.get(num)
+        if entry is None:
+            return
+        km = _KIDS_RE.search(entry[0])
+        if km:
+            for ref in _REF_RE.findall(km.group(1)):
+                walk(int(ref))
+
+    for root in sorted(top):
+        walk(root)
+    if set(ordered) == page_set:
+        return ordered
+    # incomplete tree: keep what the tree ordered, append strays by number
+    return ordered + sorted(page_set - set(ordered))
 
 
 def parse_pdf(data: bytes) -> list[PdfPage]:
-    """All pages of an uncompressed PDF, document order."""
+    """All pages, in /Kids document order (object-number fallback)."""
     if not data.startswith(b"%PDF"):
         raise MiniPdfError("not a PDF payload")
-    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    objects = _scan_objects(data)
+    page_nums = [
+        num
+        for num, (hdr, _) in sorted(objects.items())
+        if b"/Type" in hdr and b"/Page" in hdr and b"/Pages" not in hdr
+    ]
     pages = []
-    for num in sorted(objects):
-        body = objects[num]
-        if b"/Type" not in body or b"/Page" not in body or b"/Pages" in body:
-            continue
-        mb = _MEDIABOX_RE.search(body)
+    for num in _page_order(objects, page_nums):
+        hdr, _ = objects[num]
+        mb = _MEDIABOX_RE.search(hdr)
         width, height = (float(mb.group(3)), float(mb.group(4))) if mb else (612.0, 792.0)
-        cm = _CONTENTS_RE.search(body)
+        cm = _CONTENTS_RE.search(hdr)
         spans: list[Span] = []
         if cm and int(cm.group(1)) in objects:
-            content_obj = objects[int(cm.group(1))]
-            if b"/Filter" in content_obj:
-                raise MiniPdfError("compressed content streams unsupported (no entropy codecs here)")
-            sm = _STREAM_RE.search(content_obj)
-            if sm:
+            content_hdr, content_raw = objects[int(cm.group(1))]
+            if content_raw is not None:
+                stream = _decode_stream(content_hdr, content_raw)
                 try:
-                    spans = _tokenize_spans(sm.group(1), height)
+                    spans = _tokenize_spans(stream, height)
                 except Exception as e:
                     # a malformed-but-real PDF must be a MiniPdfError, not a
                     # poison pill: callers route MiniPdfError to the OCR
                     # fallback / None clip instead of failing the Spark task
-                    raise MiniPdfError(f"unparseable content stream: {type(e).__name__}: {e}") from e
+                    raise MiniPdfError(
+                        f"unparseable content stream: {type(e).__name__}: {e}"
+                    ) from e
         pages.append(PdfPage(spans, width, height))
     return pages
 
@@ -288,16 +455,20 @@ def clip_text(page: PdfPage, x: float, y: float, w: float, h: float) -> str | No
     return clipped
 
 
-def pdf_from_text(text: str, words_per_line: int = 6, size: float = 12.0) -> bytes:
+def pdf_from_text(
+    text: str, words_per_line: int = 6, size: float = 12.0, compress: bool = False
+) -> bytes:
     """Deterministic document→PDF lay-out: ``words_per_line`` words per
     line, 16-pt leading from top 72.  Shared by the Spark query and the
-    driver-side oracle so PDF write→parse round-trips are comparable."""
+    driver-side oracle so PDF write→parse round-trips are comparable.
+    ``compress=True`` emits /FlateDecode content streams (zlib level 6,
+    deterministic), exercising the compressed parse path."""
     words = [w for w in text.split(" ") if w]
     spans = []
     for i in range(0, len(words), words_per_line):
         line = " ".join(words[i : i + words_per_line])
         spans.append((72.0, 72.0 + 16.0 * (i // words_per_line), size, line))
-    return write_minimal_pdf([spans])
+    return write_minimal_pdf([spans], compress=compress)
 
 
 # --- fixture writer -----------------------------------------------------------
@@ -307,10 +478,12 @@ def write_minimal_pdf(
     pages: list[list[tuple[float, float, float, str]]],
     page_width: float = 612.0,
     page_height: float = 792.0,
+    compress: bool = False,
 ) -> bytes:
-    """Emit an uncompressed PDF 1.4.  Each page is a list of
-    (x, top, size, text) tuples in the same top-down coordinates the
-    parser reports — write → parse round-trips exactly."""
+    """Emit a PDF 1.4.  Each page is a list of (x, top, size, text)
+    tuples in the same top-down coordinates the parser reports — write
+    → parse round-trips exactly.  ``compress=True`` stores content
+    streams with /FlateDecode (deterministic zlib level 6)."""
 
     def esc(t: str) -> str:
         return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -337,9 +510,19 @@ def write_minimal_pdf(
         # PDF literal strings are byte strings; non-latin-1 text degrades
         # deterministically (same replacement on writer and parser side)
         content = "\n".join(parts).encode("latin-1", errors="replace")
-        objs.append(
-            f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
-        )
+        if compress:
+            import zlib
+
+            content = zlib.compress(content, 6)
+            objs.append(
+                f"<< /Length {len(content)} /Filter /FlateDecode >>\nstream\n".encode()
+                + content
+                + b"\nendstream"
+            )
+        else:
+            objs.append(
+                f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
+            )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

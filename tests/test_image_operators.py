@@ -120,6 +120,50 @@ def test_preocr_chain_retry_uses_preprocessed_image(session):
     assert (row["out_h"], row["out_w"]) == (80, 120)
 
 
+def test_png_payloads_flow_through_image_features_and_preocr(session):
+    """Real PNG bytes (not .npy) decode via the pure-numpy codec and run
+    the same preprocessing chain, with decode_status='png'."""
+    from ocr_api_spark.kernels.png import encode_png
+    from ocr_api_spark.operators.multimodal import image_features, preocr_chain
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, (24, 36), dtype=np.uint8)
+    bgr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    bgra = rng.integers(0, 256, (12, 16, 4), dtype=np.uint8)
+    df = session.createDataFrame(
+        [
+            ("p1", encode_png(gray, filter_types=4), "image"),
+            ("p2", encode_png(bgr, filter_types=1), "image"),
+            ("p3", encode_png(bgra, filter_types=2), "image"),
+            ("p4", b"\x89PNG\r\n\x1a\ntruncated-garbage", "image"),
+        ],
+        "url string, payload binary, payload_kind string",
+    )
+    feats = {r["url"]: r for r in image_features(df).collect()}
+    assert feats["p1"]["decode_status"] == "png"
+    assert feats["p2"]["decode_status"] == "png"
+    assert feats["p3"]["decode_status"] == "png"
+    assert feats["p4"]["decode_status"] == "fake"  # undecodable PNG falls back
+    assert (feats["p1"]["feature"][0], feats["p1"]["feature"][1]) == (24.0, 36.0)
+    assert feats["p3"]["feature"][2] == 3.0  # BGRA alpha-flattened
+
+    # identical pixels as .npy must yield the identical feature vector
+    from ocr_api_spark.operators.multimodal import _Decoder  # noqa: F401
+
+    npy_df = session.createDataFrame(
+        [("n1", _npy_bytes(gray), "image")],
+        "url string, payload binary, payload_kind string",
+    )
+    npy_feat = image_features(npy_df).collect()[0]["feature"]
+    assert npy_feat == feats["p1"]["feature"]
+
+    chain = {r["url"]: r for r in preocr_chain(df, osd_fn=lambda _: "Rotate: 90").collect()}
+    assert chain["p1"]["chain_status"] == "ok" and chain["p1"]["osd_angle"] == 90
+    # 90° swaps dims, then ×2 upscale
+    assert (chain["p1"]["out_h"], chain["p1"]["out_w"]) == (72, 48)
+    assert chain["p4"]["chain_status"] == "undecodable"
+
+
 def test_preocr_chain_poison_color_image_defaults_to_zero(session, payload_df):
     """An OSD source that raises on a COLOR image must not fail the Spark
     task: the reference swallows TesseractError and continues with angle 0

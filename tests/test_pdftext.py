@@ -67,13 +67,143 @@ def test_content_stream_operators():
     assert tops["b"] - tops["a"] == 15  # TL leading for '
 
 
-def test_compressed_stream_rejected():
+def test_unsupported_filter_rejected():
     pdf = write_minimal_pdf([[(72, 72, 12, "x")]])
-    pdf = pdf.replace(b"<< /Length", b"<< /Filter /FlateDecode /Length")
-    with pytest.raises(MiniPdfError):
+    pdf = pdf.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    with pytest.raises(MiniPdfError, match="LZWDecode"):
         parse_pdf(pdf)
     with pytest.raises(MiniPdfError):
         parse_pdf(b"not a pdf at all")
+
+
+def test_flate_roundtrip_matches_uncompressed():
+    spans = [
+        [(72, 72, 12, "INCOME TAX DEPARTMENT"), (72, 90, 12, "RAHUL SHARMA")],
+        [(72, 100, 10, "Second page line")],
+    ]
+    plain = pdf_text(write_minimal_pdf(spans))
+    flate = write_minimal_pdf(spans, compress=True)
+    assert b"/FlateDecode" in flate
+    assert pdf_text(flate) == plain
+    # and through the convenience layouter used by the driver gate
+    from ocr_api_spark.sources.pdftext import pdf_from_text
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert pdf_text(pdf_from_text(t, compress=True)) == pdf_text(pdf_from_text(t))
+
+
+def test_flate_filter_array_form():
+    pdf = write_minimal_pdf([[(72, 72, 12, "hello world")]], compress=True)
+    pdf = pdf.replace(b"/Filter /FlateDecode", b"/Filter [ /FlateDecode ]")
+    assert parse_pdf(pdf)[0].extract_text() == "hello world"
+
+
+def test_corrupt_flate_stream_is_minipdferror():
+    pdf = write_minimal_pdf([[(72, 72, 12, "hello")]], compress=True)
+    i = pdf.find(b"stream\n") + len(b"stream\n")
+    pdf = pdf[: i + 2] + bytes([pdf[i + 2] ^ 0xFF]) + pdf[i + 3 :]
+    with pytest.raises(MiniPdfError, match="Flate"):
+        parse_pdf(pdf)
+
+
+def test_length_slicing_survives_endstream_bytes_in_payload():
+    """Stream bodies are sliced by /Length, so payload bytes that spell
+    'endstream'/'endobj' (routine in compressed data) cannot truncate
+    the parse."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"endstream trap endobj trap\n"
+        b"BT /F1 12 Tf 72 680 Td (after) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "before\nafter"
+
+
+def test_indirect_length_resolves():
+    content = b"BT /F1 12 Tf 72 700 Td (indirect) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "indirect"
+
+
+def test_kids_order_beats_object_number_order():
+    """ADVICE r2: page order comes from the /Pages node's /Kids array,
+    not object numbering — writers may number pages out of order."""
+    c_one = b"BT /F1 12 Tf 72 700 Td (FIRST) Tj ET"
+    c_two = b"BT /F1 12 Tf 72 700 Td (SECOND) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        # Kids list the HIGHER-numbered page first
+        b"2 0 obj\n<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c_two)).encode() + b" >>\nstream\n"
+        + c_two + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(c_one)).encode() + b" >>\nstream\n"
+        + c_one + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert pdf_text(pdf) == "FIRST\nSECOND\n"
+
+
+def test_asciihex_filter():
+    content = b"BT /F1 12 Tf 72 700 Td (hexed) Tj ET"
+    hexed = content.hex().encode() + b">"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(hexed)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n" + hexed + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "hexed"
+
+
+def test_flate_with_png_up_predictor():
+    """/Predictor 12 (PNG Up) rides the shared kernels/png unfilter."""
+    import zlib as _zlib
+
+    content = b"BT /F1 12 Tf 72 700 Td (predicted) Tj ET"
+    cols = 8
+    rows = [content[i : i + cols].ljust(cols, b" ") for i in range(0, len(content), cols)]
+    filtered = bytearray()
+    prev = bytes(cols)
+    for row in rows:
+        filtered += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = row
+    z = _zlib.compress(bytes(filtered))
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 8 >> >>\n"
+        b"stream\n" + z + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    # trailing pad spaces are show-op text; strip for the assertion
+    assert parse_pdf(pdf)[0].extract_text().rstrip() == "predicted"
 
 
 def test_clip_retry_boxes():
