@@ -924,7 +924,7 @@ def _emb_near_dup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        near_dup_pairs(emb, 0.35)
+        near_dup_pairs(emb, 0.35, bits=8)
         .withColumn("id_a", F.col("id_a").cast("bigint"))
         .withColumn("id_b", F.col("id_b").cast("bigint"))
     )
@@ -938,6 +938,52 @@ WITH b AS (
    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
    + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)) AS bucket
   FROM embeddings
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 3)::DOUBLE AS cosine
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+) WHERE cosine >= 0.35
+"""
+
+
+def _emb_near_dup_auto(spark, sf_dir):
+    """Same operator with the SCALE parameterization: bucket width
+    derived from corpus size (bits = clamp(ceil(log2(n/32)), 4, dims)),
+    so the expected bucket population stays ~32 rows at any n — the
+    round-2 verdict's fix for the fixed-256-bucket scale bug.  At
+    sf0.01 (n=500 vectors) this resolves to 4 bits; at sf0.1 (n=2000)
+    to 6; at 10^12 it would be ~35 of the 64 dims."""
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        near_dup_pairs(emb, 0.35, bits="auto")
+        .withColumn("id_a", F.col("id_a").cast("bigint"))
+        .withColumn("id_b", F.col("id_b").cast("bigint"))
+    )
+
+
+def _auto_bits_bucket_terms(max_bits: int = 16) -> str:
+    """Guarded bucket terms: term i contributes 2^i only while i < bits,
+    so ONE static SQL string computes the same corpus-size-derived
+    bucket the Spark side does at every SF (bits <= max_bits here;
+    the Spark operator itself is unbounded)."""
+    return "\n   + ".join(
+        f"(CASE WHEN {i} < k.bits AND embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(max_bits)
+    )
+
+
+_EMB_NEAR_DUP_AUTO_SQL = f"""
+WITH k AS (
+  SELECT greatest(4, least(cast(ceil(log2(greatest(count(*) / 32.0, 1.0))) AS INT), 64)) AS bits
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding,
+    ({_auto_bits_bucket_terms(16)}) AS bucket
+  FROM embeddings, k
 )
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine FROM (
   SELECT l.vec_id AS id_a, r.vec_id AS id_b,
@@ -1351,10 +1397,13 @@ def _doc_simhash(spark, sf_dir):
     return simhash64(docs, "text").withColumn("doc_id", F.col("doc_id").cast("bigint"))
 
 
-# Shared CTE: the same bit formula as dedup._hex_digit_bits, in DuckDB.
-_SIMHASH_CTE = """
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 100
+# Shared CTE: the same bit formula as dedup._hex_digit_bits, in DuckDB,
+# parameterized over the corpus so the bands query can seed near-dups.
+def _simhash_cte(corpus_sql: str) -> str:
+    return f"""
+WITH corpus AS ({corpus_sql}),
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM corpus
 ),
 idx AS (
   SELECT doc_id, words, unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS i FROM words
@@ -1378,11 +1427,26 @@ sig AS (
          coalesce(string_agg(CASE WHEN vote > 0 THEN '1'
                                   WHEN vote IS NOT NULL THEN '0' END, '' ORDER BY b),
                   repeat('0', 64)) AS simhash
-  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+  FROM (SELECT doc_id FROM corpus) d
   LEFT JOIN bits USING (doc_id)
   GROUP BY d.doc_id
 )
 """
+
+
+_SIMHASH_CTE = _simhash_cte("SELECT doc_id, text FROM documents WHERE doc_id < 100")
+
+# the bands corpus adds 50 deterministic near-dup variants (two tokens
+# appended, doc_id+1000): a variant flips only the simhash bits its ~4
+# changed shingles vote on, so most variants share >= 1 of the 4 bands
+# with their original — the collision path is finally exercised at the
+# oracle SF (round-2 verdict #4: every band had n_docs=1)
+_NEARDUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+    "UNION ALL "
+    "SELECT doc_id + 1000 AS doc_id, text || ' neardup marker' AS text "
+    "FROM documents WHERE doc_id < 50"
+)
 
 _DOC_SIMHASH_SQL = _SIMHASH_CTE + """
 SELECT doc_id::BIGINT AS doc_id, simhash,
@@ -1395,12 +1459,18 @@ FROM sig
 def _doc_simhash_bands(spark, sf_dir):
     """Hamming-band grouping: docs sharing a 16-bit signature band are
     near-dup candidates — the LSH-style scale path for SimHash (band key
-    is high-cardinality, so the single shuffle partitions evenly)."""
+    is high-cardinality, so the single shuffle partitions evenly).  The
+    corpus unions in 50 deterministic near-dup variants (same rule in
+    the oracle SQL) so bands with n_docs >= 2 actually occur."""
     from ocr_api_spark.operators.dedup import simhash64
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 100)
+    variants = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardup marker")).alias("text"),
+    )
     return (
-        simhash64(docs, "text")
+        simhash64(docs.unionByName(variants), "text")
         .groupBy("band0")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -1409,7 +1479,7 @@ def _doc_simhash_bands(spark, sf_dir):
     )
 
 
-_DOC_SIMHASH_BANDS_SQL = _SIMHASH_CTE + """
+_DOC_SIMHASH_BANDS_SQL = _simhash_cte(_NEARDUP_CORPUS_SQL) + """
 SELECT substring(simhash, 1, 16) AS band0, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS min_doc_id
 FROM sig GROUP BY 1
@@ -1460,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_bands": _doc_simhash_bands,
         "doc_winnowing": _doc_winnowing,
         "emb_near_dup": _emb_near_dup,
+        "emb_near_dup_auto": _emb_near_dup_auto,
         "doc_bpe_tokens": _doc_bpe_tokens,
     }
 
@@ -1517,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,
         "doc_winnowing": _DOC_WINNOW_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "emb_near_dup_auto": _EMB_NEAR_DUP_AUTO_SQL,
         "doc_bpe_tokens": _DOC_BPE_SQL,
         "extract_pan_over_documents": _PAN_EXPECTED_SQL,
         "extract_all_branches": _BRANCHES_EXPECTED_SQL,

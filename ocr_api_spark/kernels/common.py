@@ -17,12 +17,47 @@ try:  # ftfy is not a hard dependency; for ASCII input fix_text is identity
     def _fix_text(text: str) -> str:
         return ftfy.fix_text(text)
 
-except ImportError:  # pragma: no cover - environment-dependent
+except ImportError:
+    import codecs as _codecs
+
+    def _sloppy1252_errors(err):
+        # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined; mojibake
+        # produced by a latin-1 mis-decode carries those C1 controls
+        # verbatim, so map them back to their raw byte (ftfy's
+        # "sloppy-windows-1252" idea)
+        ch = err.object[err.start : err.start + 1]
+        if "\x80" <= ch <= "\x9f":
+            return bytes([ord(ch)]), err.start + 1
+        raise err
+
+    _codecs.register_error("ocr_api_sloppy1252", _sloppy1252_errors)
 
     def _fix_text(text: str) -> str:
-        # ftfy.fix_text is the identity on well-formed ASCII text, which
-        # is all our deterministic fixtures and synthetic pages emit.
-        return text
+        """Minimal ftfy stand-in: repairs the dominant real-world
+        mojibake class — UTF-8 bytes mis-decoded as cp1252/latin-1
+        (possibly more than once: 'Ã©'→'é', 'â€™'→'’', 'ÃƒÂ©'→'é').
+        Identity on ASCII (all deterministic fixtures) and on genuine
+        single-encoded text ('café', 'naïve'): re-encoding those to
+        cp1252 yields bytes that are NOT valid UTF-8, so the repair
+        round-trip fails closed and the input passes through.  That
+        accept-only-if-it-decodes rule is the same reasoning ftfy's
+        badness heuristic encodes for this class."""
+        fixed = text
+        for _ in range(3):  # double-encoding happens; triple is the cap
+            if fixed.isascii():
+                break
+            try:
+                raw = fixed.encode("cp1252", errors="ocr_api_sloppy1252")
+            except UnicodeEncodeError:
+                break
+            try:
+                decoded = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                break
+            if decoded == fixed:
+                break
+            fixed = decoded
+        return fixed
 
 
 try:

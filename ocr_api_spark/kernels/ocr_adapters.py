@@ -79,3 +79,57 @@ def tesseract_tsv_tokens(tsv: str) -> list[tuple[str, float, list[list[int]]]]:
         box = [[left, top], [left + w, top], [left + w, top + h], [left, top + h]]
         tokens.append((text, conf / 100.0, box))
     return tokens
+
+
+# --- live-subprocess seam (S7/S8/S10) ---------------------------------------
+
+
+def tesseract_available(binary: str = "tesseract") -> bool:
+    import shutil
+
+    return shutil.which(binary) is not None
+
+
+def tesseract_image_to_data(image, binary: str = "tesseract", run=None) -> str:
+    """The last seam between the adapters and a REAL engine: PNG-encode
+    the array (kernels/png.py — no temp files, no cv2) and pipe it to
+    ``tesseract stdin stdout tsv``, returning the image_to_data TSV that
+    ``tesseract_tsv_tokens`` parses (reference app.py:3219, 5104 via
+    pytesseract, which shells out to the same binary the same way).
+
+    ``run(argv, input_bytes) -> stdout_bytes`` is injectable so the
+    argv/stdin wiring is testable without the binary; the default uses
+    ``subprocess.run`` with a 60 s timeout."""
+    from ocr_api_spark.kernels.png import encode_png
+
+    png = encode_png(image)
+    argv = [binary, "stdin", "stdout", "tsv"]
+    if run is None:
+        import subprocess
+
+        def run(a, inp):
+            return subprocess.run(
+                a, input=inp, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                timeout=60, check=True,
+            ).stdout
+
+    return run(argv, png).decode("utf-8", errors="replace")
+
+
+def tesseract_osd_output(image, binary: str = "tesseract", run=None) -> str:
+    """OSD text for ``kernels/image.parse_osd_rotate`` (S10): the
+    ``--psm 0`` orientation-only mode pytesseract's image_to_osd wraps."""
+    from ocr_api_spark.kernels.png import encode_png
+
+    png = encode_png(image)
+    argv = [binary, "stdin", "stdout", "--psm", "0"]
+    if run is None:
+        import subprocess
+
+        def run(a, inp):
+            return subprocess.run(
+                a, input=inp, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                timeout=60, check=True,
+            ).stdout
+
+    return run(argv, png).decode("utf-8", errors="replace")

@@ -111,15 +111,54 @@ def minhash_signatures_arr(
     return shingled.select(id_col, *[mh(j) for j in range(k)]).where(F.col("mh0").isNotNull())
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: list[tuple[int, ...]], id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: list[tuple[int, ...]],
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Docs sharing any band signature.  ``bands`` lists the mh indices in
-    each band, e.g. [(0,1),(2,3)]."""
+    each band, e.g. [(0,1),(2,3)].
+
+    **Scale contract (round-2 verdict #3): run exact dedup first.**  A
+    cluster of c byte-identical docs shares every band signature, so the
+    band self-join emits c(c-1)/2 pairs per band — million-copy
+    boilerplate clusters in real corpora make that quadratic blowup
+    fatal.  Either feed this operator exact-deduped input (the pipeline
+    runs ``dedupe_pages`` first, plans/pipeline.py), or set
+    ``max_bucket_size``: band buckets larger than the cap are dropped
+    from the join entirely (their members stay eligible through their
+    other bands) and the drop is logged with bucket counts.  A dropped
+    bucket of size c is exactly the degenerate case: near-certain
+    duplicates that exact dedup should have removed — capping bounds
+    per-bucket join work at cap², keeping the band join linear-ish in
+    practice."""
+    import logging
+
     pair_frames = []
+    dropped_per_band = []
     for b, cols in enumerate(bands):
         sig = F.concat_ws("|", *[F.col(f"mh{i}") for i in cols])
         bucketed = signatures.select(F.col(id_col), sig.alias("band_sig")).withColumn(
             "band", F.lit(b)
         )
+        if max_bucket_size is not None:
+            # count per band_sig on the SAME key the join shuffles on;
+            # oversized buckets leave the join input before any pairing
+            from pyspark.sql import Window
+
+            sized = bucketed.withColumn(
+                "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+            )
+            dropped_per_band.append(
+                sized.where(F.col("__bn") > max_bucket_size)
+                .groupBy("band")
+                .agg(
+                    F.count_distinct("band_sig").alias("n_buckets"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                )
+            )
+            bucketed = sized.where(F.col("__bn") <= max_bucket_size).drop("__bn")
         left = bucketed.alias("l")
         right = bucketed.alias("r")
         pairs = (
@@ -131,6 +170,16 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: list[tuple[int, ...]], id_
             )
         )
         pair_frames.append(pairs)
+    if dropped_per_band:
+        drops = dropped_per_band[0]
+        for d in dropped_per_band[1:]:
+            drops = drops.unionByName(d)
+        for row in drops.collect():  # bounded: one row per band
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: band %d dropped %d oversized bucket(s) "
+                "(%d rows > max_bucket_size=%d) — run exact dedup first",
+                row["band"], row["n_buckets"], row["n_rows"], max_bucket_size,
+            )
     out = pair_frames[0]
     for p in pair_frames[1:]:
         out = out.unionByName(p)

@@ -64,9 +64,15 @@ _PURE_FUNCS = [
 
 
 class _FtfyStub:
+    """ftfy stand-in backed by our minimal mojibake fixer (same pattern
+    as _FuzzStub): with real ftfy absent on BOTH sides, parity tests
+    exercise the surrounding logic against one shared repair."""
+
     @staticmethod
     def fix_text(text):
-        return text
+        from ocr_api_spark.kernels.common import _fix_text
+
+        return _fix_text(text)
 
 
 class _FuzzStub:

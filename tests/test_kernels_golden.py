@@ -28,6 +28,30 @@ def test_correct_pan_only_positions_5_to_8():
     assert common.correct_pan_number("SHORT") == "SHORT"
 
 
+def test_fix_text_mojibake_golden():
+    """F44 (app.py:356-362): the minimal ftfy stand-in repairs the
+    latin-1/cp1252↔utf-8 double-encoding class.  Expected values are
+    what ftfy.fix_text returns for these canonical inputs; ASCII and
+    genuine single-encoded text are identities."""
+    cases = {
+        "plain ascii stays": "plain ascii stays",
+        "cafÃ©": "café",                      # utf-8 read as latin-1
+        "â€™tis": "’tis",                     # cp1252 smart quote
+        "â€œquotesâ€\x9d": "“quotes”",        # C1 orphan (sloppy cp1252)
+        "ÃƒÂ©": "é",                          # DOUBLE encoded
+        "Ð¿Ñ€Ð¸Ð²ÐµÑ‚": "привет",             # non-latin payload
+        "café": "café",                        # genuine text untouched
+        "naïve résumé": "naïve résumé",
+    }
+    for raw, want in cases.items():
+        assert common.fix_text(raw) == want, raw
+
+
+def test_clean_text_ftfy_non_ascii():
+    """The (cid:N) strip composes with the mojibake repair."""
+    assert common.clean_text_ftfy("  cafÃ© (cid:12) menu  ") == "café  menu"
+
+
 def test_clean_text_effective():
     assert common.clean_text("a|b.c:d\ne") == "AIBCD E"
 

@@ -63,3 +63,67 @@ def test_adapters_compose_with_mask_and_reading_order():
     assert len(regions) == 1 and regions[0]["x_min"] == 10
     ordered = order_tokens_reading(tesseract_tsv_tokens(TSV))
     assert tokens_to_text(ordered) == "RAHUL\nSHARMA"
+
+
+def test_tesseract_subprocess_wiring_injected():
+    """adapter ↔ subprocess seam without the binary: the runner gets the
+    tsv argv and REAL PNG bytes on stdin; its TSV output flows through
+    tesseract_tsv_tokens unchanged."""
+    import numpy as np
+
+    from ocr_api_spark.kernels.ocr_adapters import (
+        tesseract_image_to_data,
+        tesseract_osd_output,
+        tesseract_tsv_tokens,
+    )
+    from ocr_api_spark.kernels.png import decode_png
+
+    calls = []
+    canned = (
+        "level\tpage_num\tblock_num\tpar_num\tline_num\tword_num\t"
+        "left\ttop\twidth\theight\tconf\ttext\n"
+        "5\t1\t1\t1\t1\t1\t10\t20\t30\t12\t96.5\tHELLO\n"
+    )
+
+    def fake_run(argv, inp):
+        calls.append((argv, inp))
+        return canned.encode()
+
+    img = np.full((8, 8), 255, dtype=np.uint8)
+    tsv = tesseract_image_to_data(img, run=fake_run)
+    assert calls[0][0] == ["tesseract", "stdin", "stdout", "tsv"]
+    # stdin carried a decodable PNG of the exact pixels
+    np.testing.assert_array_equal(decode_png(calls[0][1]), img)
+    assert tesseract_tsv_tokens(tsv) == [
+        ("HELLO", 0.965, [[10, 20], [40, 20], [40, 32], [10, 32]])
+    ]
+
+    def fake_osd(argv, inp):
+        calls.append((argv, inp))
+        return b"Page number: 0\nOrientation in degrees: 90\nRotate: 270\n"
+
+    from ocr_api_spark.kernels.image import parse_osd_rotate
+
+    out = tesseract_osd_output(img, run=fake_osd)
+    assert calls[1][0] == ["tesseract", "stdin", "stdout", "--psm", "0"]
+    assert parse_osd_rotate(out) == 270
+
+
+def test_tesseract_live_smoke_if_present():
+    """Runs the REAL binary when the environment has one (skips here);
+    the adapter must parse whatever it prints without raising."""
+    import numpy as np
+    import pytest
+
+    from ocr_api_spark.kernels.ocr_adapters import (
+        tesseract_available,
+        tesseract_image_to_data,
+        tesseract_tsv_tokens,
+    )
+
+    if not tesseract_available():
+        pytest.skip("tesseract binary not installed in this environment")
+    img = np.full((60, 200), 255, dtype=np.uint8)
+    img[20:40, 10:50] = 0  # a black block: output may be empty, must parse
+    tokens = tesseract_tsv_tokens(tesseract_image_to_data(img))
+    assert isinstance(tokens, list)

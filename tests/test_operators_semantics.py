@@ -217,6 +217,71 @@ def test_near_dup_pairs_finds_identical_vectors(session):
     assert (1, 4) not in pairs  # different bucket and low cosine
 
 
+def test_auto_sign_bits_scales_with_corpus():
+    from ocr_api_spark.operators.similarity import auto_sign_bits
+
+    assert auto_sign_bits(500, 64) == 4  # floor: min_bits
+    assert auto_sign_bits(2_000, 64) == 6
+    assert auto_sign_bits(1_000_000, 64) == 15
+    assert auto_sign_bits(10**12, 64) == 35  # grows with log2(n)
+    assert auto_sign_bits(10**12, 16) == 16  # clamped to the dims
+    assert auto_sign_bits(0, 64) == 4
+
+
+def test_near_dup_pairs_auto_matches_explicit_bits(session):
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    rows = [(i, [float((i >> b) & 1) - 0.5 for b in range(16)]) for i in range(40)]
+    df = session.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n=40 -> ceil(log2(40/32)) = 1 -> clamped to min_bits=4
+    auto = sorted(tuple(r) for r in near_dup_pairs(df, 0.5, bits="auto").collect())
+    explicit = sorted(tuple(r) for r in near_dup_pairs(df, 0.5, bits=4).collect())
+    assert auto == explicit and len(auto) > 0
+
+
+def test_near_dup_pairs_multiband_recovers_cross_band_pair(session):
+    """bits growth costs recall; disjoint-dim bands win it back: this
+    pair disagrees on a dim in band 0 but matches band 1 exactly."""
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    a = [0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    b = [-0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]  # cosine ~0.9999
+    df = session.createDataFrame(
+        [(1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    single = near_dup_pairs(df, 0.9, bits=4).collect()
+    assert single == []  # band 0 sign patterns differ
+    two_band = [tuple(r) for r in near_dup_pairs(df, 0.9, bits=4, n_bands=2).collect()]
+    assert len(two_band) == 1 and two_band[0][:2] == (1, 2)
+
+
+def test_lsh_bucket_cap_drops_mega_cluster(session, caplog):
+    """Round-2 verdict #3: a 100-copy exact-duplicate cluster must not
+    produce c(c-1)/2 pairs when the cap is set — the oversized bucket
+    is dropped (and logged); genuinely-near pairs in small buckets
+    survive."""
+    import logging
+
+    from ocr_api_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures_arr
+
+    boiler = "exact copy of the same boilerplate page body " * 4
+    rows = [(i, boiler) for i in range(100)]
+    rows += [(200, "a genuinely unique sentence about winnowing fingerprints"),
+             (201, "a genuinely unique sentence about winnowing fingerprints")]
+    docs = session.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures_arr(docs, "text", n=3, k=4)
+    bands = [(0, 1), (2, 3)]
+
+    uncapped = lsh_candidate_pairs(sigs, bands).count()
+    assert uncapped == 100 * 99 // 2 + 1  # the quadratic blowup, plus the real pair
+
+    with caplog.at_level(logging.WARNING, logger="ocr_api_spark.operators.dedup"):
+        capped = [tuple(r) for r in lsh_candidate_pairs(sigs, bands, max_bucket_size=10).collect()]
+    assert capped == [(200, 201)]
+    assert any("oversized bucket" in r.message for r in caplog.records)
+    assert any("100 rows" in r.getMessage() for r in caplog.records)
+
+
 def test_bpe_token_count_semantics(session):
     from ocr_api_spark.operators.textstats import with_bpe_token_count
 
