@@ -117,45 +117,98 @@ def compact_bucket(spark, out_dir: str, bucket: int, target_mb: int = 128) -> di
     """Rewrite one bucket's files into ~target_mb outputs and record a
     replacement snapshot.  Scoped to a single bucket so a 10^12-row
     table compacts incrementally (one bucket = one unit of work, same
-    as resume).  Non-atomic window: between the directory swap and the
-    manifest write a concurrent reader sees the new files — Iceberg's
-    metadata-pointer swap removes this; documented emulation limit."""
+    as resume).
+
+    Commit order makes every crash window recoverable (ADVICE r2):
+    the replacement snapshot is PUBLISHED BEFORE the replaced originals
+    are deleted, so a crash mid-delete leaves replaced-but-present
+    files that ``verify_sink`` reports as orphans and ``gc_orphans``
+    reclaims — manifests never point at deleted files.  A per-bucket
+    lock file (O_EXCL) serializes concurrent compactions of one bucket;
+    the remaining non-atomic window — a reader listing files while both
+    generations are live sees duplicate rows for one listing — is what
+    Iceberg's metadata-pointer swap removes; documented emulation
+    limit (readers that go through ``snapshot_files`` are unaffected)."""
+    import uuid
+
     base = os.path.join(out_dir, "extracted")
     bucket_dir = os.path.join(base, f"bucket={bucket}")
-    old = [
-        os.path.join(bucket_dir, f)
-        for f in os.listdir(bucket_dir)
-        if f.endswith(".parquet") and not f.startswith(".")
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in old)
-    n_out = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
-    if len(old) <= n_out:
-        return {"bucket": bucket, "compacted": False, "files": len(old), "target": n_out}
+    lock_path = os.path.join(bucket_dir, ".compact.lock")
+    try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return {"bucket": bucket, "compacted": False, "reason": "locked"}
+    try:
+        os.write(lock_fd, f"{os.getpid()} {time.time()}".encode())
+        os.close(lock_fd)
+        old = [
+            os.path.join(bucket_dir, f)
+            for f in os.listdir(bucket_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        total_bytes = sum(os.path.getsize(f) for f in old)
+        n_out = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+        if len(old) <= n_out:
+            return {"bucket": bucket, "compacted": False, "files": len(old), "target": n_out}
 
-    # read EXACTLY the files being replaced (not the directory): a
-    # concurrent run_extraction may append new files to this bucket at
-    # any moment, and they must survive untouched
-    df = spark.read.parquet(*old)
-    tmp_dir = bucket_dir + ".compact-tmp"
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
+        # read EXACTLY the files being replaced (not the directory): a
+        # concurrent run_extraction may append new files to this bucket at
+        # any moment, and they must survive untouched
+        df = spark.read.parquet(*old)
+        tmp_dir = f"{bucket_dir}.compact-tmp-{uuid.uuid4().hex[:8]}"
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp_dir)
 
-    new_rel = []
-    # promote compacted files in, then remove ONLY the replaced originals
-    # (never a directory sweep — concurrent writers' files stay)
-    for f in os.listdir(tmp_dir):
-        if f.endswith(".parquet") and not f.startswith("."):
-            os.rename(os.path.join(tmp_dir, f), os.path.join(bucket_dir, f"compact-{f}"))
-            new_rel.append(os.path.join(f"bucket={bucket}", f"compact-{f}"))
-    for f in old:
-        os.remove(f)
-    import shutil
+        new_rel = []
+        # promote compacted files in (uuid names: a re-run after a crash
+        # can never collide with a previous attempt's survivors)
+        gen = uuid.uuid4().hex[:8]
+        for f in os.listdir(tmp_dir):
+            if f.endswith(".parquet") and not f.startswith("."):
+                os.rename(
+                    os.path.join(tmp_dir, f), os.path.join(bucket_dir, f"compact-{gen}-{f}")
+                )
+                new_rel.append(os.path.join(f"bucket={bucket}", f"compact-{gen}-{f}"))
+        import shutil
 
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
-    # row/failed counts of the compacted files from their footers/stats
-    # (the lazy df can't be re-counted: its source files are gone)
-    from ocr_api_spark.plans.pipeline import _bucket_stats
+        # row/failed counts of the compacted files from their footers/stats
+        from ocr_api_spark.plans.pipeline import _bucket_stats
 
-    stats_rows = _bucket_stats({os.path.join(base, f) for f in new_rel}, 0.0)
-    write_snapshot(out_dir, set(new_rel), stats_rows, replaces=set(old), compaction=True)
-    return {"bucket": bucket, "compacted": True, "files_before": len(old), "files_after": len(new_rel)}
+        stats_rows = _bucket_stats({os.path.join(base, f) for f in new_rel}, 0.0)
+        # PUBLISH, then delete: from here the old files are logically gone
+        write_snapshot(out_dir, set(new_rel), stats_rows, replaces=set(old), compaction=True)
+        for f in old:
+            os.remove(f)
+        return {
+            "bucket": bucket,
+            "compacted": True,
+            "files_before": len(old),
+            "files_after": len(new_rel),
+        }
+    finally:
+        try:
+            os.remove(lock_path)
+        except FileNotFoundError:
+            pass
+
+
+def gc_orphans(out_dir: str, min_age_sec: float = 0.0) -> list[str]:
+    """Repair path for every crash window: delete data files present on
+    disk but in no live snapshot (zombie writers, compactions that
+    published before finishing their delete).  ``min_age_sec`` guards
+    in-flight writers — a file younger than the threshold may simply
+    not be committed YET."""
+    base = os.path.join(out_dir, "extracted")
+    now = time.time()
+    removed = []
+    for rel in verify_sink(out_dir)["orphans"]:
+        path = os.path.join(base, rel)
+        try:
+            if now - os.path.getmtime(path) < min_age_sec:
+                continue
+            os.remove(path)
+            removed.append(rel)
+        except FileNotFoundError:
+            pass
+    return removed

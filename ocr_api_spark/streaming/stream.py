@@ -155,27 +155,47 @@ def credits_ledger_stream(claims: DataFrame, initial_credits: int = 1000) -> Dat
     )
 
 
-def merge_credits_batch(spark: SparkSession, accounts_path: str, batch_df: DataFrame, batch_id: int) -> bool:
+def merge_credits_batch(
+    spark: SparkSession,
+    accounts_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    run_id: str = "default",
+) -> bool:
     """One idempotent MERGE: gate the batch against the current accounts
     state, decrement admitted rows, commit the new snapshot atomically.
 
     foreachBatch is at-least-once — a crash between the snapshot commit
     and Spark's checkpoint commit re-delivers the batch — so the applied
-    ``batch_id`` travels INSIDE the accounts snapshot (one os.replace
-    covers both) and a replay with ``batch_id <= last`` is a no-op.
-    Returns whether the batch was applied."""
+    watermark travels INSIDE the accounts snapshot (one os.replace
+    covers both) and a replay is a no-op.
+
+    The watermark is keyed by ``run_id`` (ADVICE r2): foreachBatch batch
+    ids restart at 0 whenever the checkpoint directory is recreated, and
+    a second stream may merge into the same accounts table, so a single
+    global max batch_id would silently drop genuinely new batches.  A
+    per-run map ``{run_id: last_batch_id}`` dedupes replays within each
+    stream without streams interfering; pass the checkpoint's stable
+    query id (``run_credits_merge_stream`` does).  Returns whether the
+    batch was applied."""
+    import json as _json
     import os
 
     from ocr_api_spark.operators.access import admitted, credit_decrements
 
     accounts = spark.read.parquet(accounts_path)
-    if "__last_batch_id" in accounts.columns:
-        last = accounts.select(F.max("__last_batch_id")).collect()[0][0]
-        if last is not None and batch_id <= last:
-            return False  # already applied (foreachBatch replay)
-        gate_accounts = accounts.drop("__last_batch_id")
-    else:
-        gate_accounts = accounts
+    applied: dict[str, int] = {}
+    meta_cols = [c for c in ("__applied_json", "__last_batch_id") if c in accounts.columns]
+    if meta_cols:
+        head = accounts.select(*meta_cols).first()
+        if "__applied_json" in meta_cols and head["__applied_json"]:
+            applied = {k: int(v) for k, v in _json.loads(head["__applied_json"]).items()}
+        elif "__last_batch_id" in meta_cols and head["__last_batch_id"] is not None:
+            # legacy single-watermark snapshot: adopt as the default run
+            applied = {"default": int(head["__last_batch_id"])}
+    if run_id in applied and batch_id <= applied[run_id]:
+        return False  # already applied (foreachBatch replay)
+    gate_accounts = accounts.drop(*meta_cols) if meta_cols else accounts
 
     decs = credit_decrements(admitted(batch_df, gate_accounts)).collect()
     dec_map = {r["company"]: int(r["credits_used"]) for r in decs}
@@ -184,11 +204,27 @@ def merge_credits_batch(spark: SparkSession, accounts_path: str, batch_df: DataF
         int(c) - dec_map.get(co, 0)
         for co, c in zip(acc_pdf["company"], acc_pdf["credits_left"])
     ]
-    acc_pdf["__last_batch_id"] = batch_id
+    applied[run_id] = batch_id
+    acc_pdf["__applied_json"] = _json.dumps(applied, sort_keys=True)
     tmp = accounts_path + f".tmp-{batch_id}"
     acc_pdf.to_parquet(tmp, index=False)
     os.replace(tmp, accounts_path)
     return True
+
+
+def _stream_run_id(checkpoint_dir: str) -> str:
+    """The stable identity of a streaming checkpoint: Spark writes a
+    ``metadata`` JSON with the query id at stream start and regenerates
+    it when the directory is recreated — exactly the lifetime the
+    replay watermark must share."""
+    import json as _json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(_json.load(f)["id"])
+    except (OSError, ValueError, KeyError):
+        return "default"
 
 
 def run_credits_merge_stream(
@@ -214,7 +250,9 @@ def run_credits_merge_stream(
     schema = spark.read.parquet(claims_dir).schema
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_credits_batch(spark, accounts_path, batch_df, batch_id)
+        merge_credits_batch(
+            spark, accounts_path, batch_df, batch_id, run_id=_stream_run_id(checkpoint_dir)
+        )
 
     q = (
         spark.readStream.schema(schema)

@@ -120,3 +120,40 @@ def test_credits_merge_batch_replay_is_idempotent(session, tmp_path):
     assert row["credits_left"] == 8  # decremented exactly once
     assert merge_credits_batch(session, accounts_path, batch, batch_id=1) is True
     assert session.read.parquet(accounts_path).collect()[0]["credits_left"] == 6
+
+    # ADVICE r2: a recreated checkpoint restarts batch ids at 0 under a
+    # NEW run id — that batch is genuinely new work, not a replay ...
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=0, run_id="ckpt2") is True
+    assert session.read.parquet(accounts_path).collect()[0]["credits_left"] == 4
+    # ... while a replay within EITHER stream still dedupes
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=0, run_id="ckpt2") is False
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=1) is False
+    assert session.read.parquet(accounts_path).collect()[0]["credits_left"] == 4
+
+
+def test_credits_merge_upgrades_legacy_watermark(session, tmp_path):
+    """Snapshots written by the round-2 code carried a single
+    __last_batch_id column; it is adopted as the 'default' run's
+    watermark so replays across the upgrade stay no-ops."""
+    import pandas as pd
+
+    from ocr_api_spark.streaming.stream import merge_credits_batch
+
+    accounts_path = str(tmp_path / "accounts.parquet")
+    pd.DataFrame(
+        {
+            "company": ["c1"],
+            "access_flag": [1],
+            "credits_left": [10],
+            "is_negative_credit_allowed": [0],
+            "__last_batch_id": [3],
+        }
+    ).to_parquet(accounts_path, index=False)
+    batch = session.createDataFrame(
+        [("u1", "c1", "pan")], "url string, company string, doc_type string"
+    )
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=3) is False
+    assert merge_credits_batch(session, accounts_path, batch, batch_id=4) is True
+    after = session.read.parquet(accounts_path)
+    assert "__last_batch_id" not in after.columns  # migrated to the map
+    assert after.collect()[0]["credits_left"] == 9

@@ -91,3 +91,41 @@ def test_compact_bucket_reduces_files_and_keeps_rows(session, sink):
     # manifests reconcile: replaced files are no longer "missing"
     v = verify_sink(out)
     assert v["orphans"] == [] and v["missing"] == []
+
+
+def test_compact_lock_serializes_and_gc_repairs(session, sink):
+    """ADVICE r2: (a) a held per-bucket lock turns a second compaction
+    into a no-op instead of a double-replace; (b) the publish-before-
+    delete order means any crash leaves orphans (never dangling
+    manifests), and gc_orphans reclaims them."""
+    from ocr_api_spark.plans.sink import compact_bucket, gc_orphans, verify_sink
+
+    out, _ = sink
+    base = os.path.join(out, "extracted")
+    buckets = sorted(
+        int(d.split("=")[1]) for d in os.listdir(base) if d.startswith("bucket=")
+    )
+    bucket = buckets[0]
+    bucket_dir = os.path.join(base, f"bucket={bucket}")
+
+    # (a) lock held by a concurrent compactor
+    lock = os.path.join(bucket_dir, ".compact.lock")
+    open(lock, "w").write("held")
+    assert compact_bucket(session, out, bucket) == {
+        "bucket": bucket, "compacted": False, "reason": "locked",
+    }
+    os.remove(lock)
+
+    # (b) crash window emulation: replaced-but-present files == orphans
+    res = compact_bucket(session, out, bucket, target_mb=128)
+    if res["compacted"]:
+        v = verify_sink(out)
+        assert v["missing"] == []  # manifests NEVER point at deleted files
+    # plant an orphan (a crashed writer's leftover) and GC it
+    zombie = os.path.join(bucket_dir, "part-crashed.parquet")
+    open(zombie, "wb").write(b"z")
+    assert gc_orphans(out, min_age_sec=3600) == []  # too young: kept
+    assert [os.path.basename(p) for p in gc_orphans(out)] == ["part-crashed.parquet"]
+    assert not os.path.exists(zombie)
+    v = verify_sink(out)
+    assert v["orphans"] == [] and v["missing"] == []
