@@ -151,6 +151,54 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # --- dedup tier end-to-end: minhash → banded LSH (capped) → exact
+    # jaccard re-rank of the candidates — the near-dup path a training-
+    # data pipeline runs corpus-wide, timed as one dataflow at this sf
+    from ocr_api_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_arr,
+        ngram_jaccard_pairs,
+    )
+
+    # repartition BEFORE the compute-heavy signature projection: the
+    # parquet scan partitions by compressed bytes, so one small file =
+    # one task and the md5 work runs single-threaded (the round-1
+    # measurement trap); a real corpus scan arrives pre-partitioned
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(cpus * 2)
+    n_docs_dedup = docs.count()
+
+    def _dedup_flow(d):
+        # materialize the signature table once (production writes it to
+        # its own parquet table): the capped LSH reads it twice — once
+        # for the logged bucket-size governance pass, once for the join
+        sigs = minhash_signatures_arr(d, "text", n=3, k=8).cache()
+        pairs = lsh_candidate_pairs(
+            sigs, [(0, 1), (2, 3), (4, 5), (6, 7)], max_bucket_size=64
+        ).cache()
+        cand_ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        verified = (
+            ngram_jaccard_pairs(d.join(cand_ids, "doc_id"), "text", 3)
+            .join(pairs, ["id_a", "id_b"])
+            .where(F.col("jaccard") >= 0.8)
+        )
+        n_dups = verified.count()
+        n_pairs = pairs.count()
+        pairs.unpersist()
+        sigs.unpersist()
+        return n_pairs, n_dups
+
+    _dedup_flow(docs.limit(200))  # warm codegen/shuffle paths, same plan
+    t0 = time.time()
+    n_pairs, n_dups = _dedup_flow(docs)
+    timings["dedup_pipeline"] = round(time.time() - t0, 3)
+    extras["dedup_candidate_pairs"] = n_pairs
+    extras["dedup_verified_dups"] = n_dups
+    extras["dedup_docs_per_sec"] = round(n_docs_dedup / max(timings["dedup_pipeline"], 1e-9))
+
     # single-core kernel micro-numbers: the scale-predictive figures
     # (e2e docs/sec at this sf is fixed-cost-dominated; these are not)
     import random

@@ -135,55 +135,50 @@ def lsh_candidate_pairs(
     practice."""
     import logging
 
-    pair_frames = []
-    dropped_per_band = []
-    for b, cols in enumerate(bands):
-        sig = F.concat_ws("|", *[F.col(f"mh{i}") for i in cols])
-        bucketed = signatures.select(F.col(id_col), sig.alias("band_sig")).withColumn(
-            "band", F.lit(b)
-        )
-        if max_bucket_size is not None:
-            # count per band_sig on the SAME key the join shuffles on;
-            # oversized buckets leave the join input before any pairing
-            from pyspark.sql import Window
+    # ALL bands ride one exploded frame and ONE self-join on
+    # (band, band_sig) — k per-band joins would shuffle the signature
+    # table k times for the same total row volume
+    sig_exprs = [
+        F.concat_ws("|", *[F.col(f"mh{i}") for i in cols]) for cols in bands
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(F.array(*sig_exprs)).alias("band", "band_sig")
+    )
+    if max_bucket_size is not None:
+        # count per band_sig on the SAME key the join shuffles on (the
+        # join can reuse the window's hash partitioning); oversized
+        # buckets leave the join input before any pairing
+        from pyspark.sql import Window
 
-            sized = bucketed.withColumn(
-                "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
-            )
-            dropped_per_band.append(
-                sized.where(F.col("__bn") > max_bucket_size)
-                .groupBy("band")
-                .agg(
-                    F.count_distinct("band_sig").alias("n_buckets"),
-                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                )
-            )
-            bucketed = sized.where(F.col("__bn") <= max_bucket_size).drop("__bn")
-        left = bucketed.alias("l")
-        right = bucketed.alias("r")
-        pairs = (
-            left.join(right, ["band", "band_sig"])
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
+        banded = banded.withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+        )
+        drops = (
+            banded.where(F.col("__bn") > max_bucket_size)
+            .groupBy("band")
+            .agg(
+                F.count_distinct("band_sig").alias("n_buckets"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             )
         )
-        pair_frames.append(pairs)
-    if dropped_per_band:
-        drops = dropped_per_band[0]
-        for d in dropped_per_band[1:]:
-            drops = drops.unionByName(d)
         for row in drops.collect():  # bounded: one row per band
             logging.getLogger(__name__).warning(
                 "lsh_candidate_pairs: band %d dropped %d oversized bucket(s) "
                 "(%d rows > max_bucket_size=%d) — run exact dedup first",
                 row["band"], row["n_buckets"], row["n_rows"], max_bucket_size,
             )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        banded = banded.where(F.col("__bn") <= max_bucket_size).drop("__bn")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
