@@ -1,0 +1,598 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 / JFIF), no cv2/PIL.
+
+Round-2 verdict called JPEG's Huffman+DCT "the genuine heavy lift" of
+the image branch — this module closes it for baseline sequential JPEGs
+(SOF0, the overwhelming share of scanned-document payloads):
+
+- ``decode_jpeg``: marker parse (DQT/DHT/SOF0/SOS/DRI, APPn/COM skip),
+  byte-destuffed Huffman entropy decode with restart-marker support,
+  dequantize + dezigzag, vectorized 8×8 IDCT over all blocks at once
+  (orthonormal DCT matrix, one einsum per component), sampling-factor
+  plane assembly with replication chroma upsample, JFIF YCbCr→BGR (the
+  cv2 convention the rest of the image branch uses, like
+  ``cv2.imdecode`` in the reference flow, app.py:419-443, 5099).
+- ``encode_jpeg``: the matching fixture writer — Annex K quantization
+  (quality-scaled, libjpeg's public formula) and Huffman tables,
+  4:4:4 or 2×2-subsampled 4:2:0, restart intervals optional — so
+  decode tests cover every path by round-trip (JPEG is lossy: tests
+  assert PSNR, plus exactness of the IDCT/Huffman layers separately).
+
+Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+``JpegError`` — decoders route that to the opaque-payload fallback.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(Exception):
+    pass
+
+
+# --- constant tables (ITU-T T.81 Annex K — public spec data) ---------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int32,
+)
+
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+DC_LUMA_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_SYMBOLS = list(range(12))
+DC_CHROMA_COUNTS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_SYMBOLS = list(range(12))
+
+AC_LUMA_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_COUNTS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_SYMBOLS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal 8×8 DCT-II matrix: T[i,j] = 0.5 c(i) cos((2j+1)iπ/16)
+_T = np.zeros((8, 8))
+for _i in range(8):
+    for _j in range(8):
+        c = (1.0 / np.sqrt(2.0)) if _i == 0 else 1.0
+        _T[_i, _j] = 0.5 * c * np.cos((2 * _j + 1) * _i * np.pi / 16.0)
+del _i, _j, c
+
+
+def _build_huffman_decoder(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """(bit length, code) → symbol, canonical code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_encoder(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, bit length)."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _build_huffman_decoder(counts, symbols).items()
+    }
+
+
+class _BitReader:
+    """MSB-first reader over destuffed entropy segments (one segment
+    per restart interval; crossing a boundary resets DC predictors)."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.seg = 0
+        self.data = segments[0] if segments else b""
+        self.pos = 0  # bit position within current segment
+
+    def read_bit(self) -> int:
+        byte_i = self.pos >> 3
+        if byte_i >= len(self.data):
+            raise JpegError("entropy data exhausted")
+        bit = (self.data[byte_i] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def next_segment(self) -> None:
+        self.seg += 1
+        if self.seg >= len(self.segments):
+            raise JpegError("missing restart segment")
+        self.data = self.segments[self.seg]
+        self.pos = 0
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code")
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 EXTEND: map the ``size`` raw magnitude bits to a signed
+    coefficient."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes from ``start``: drop 0xFF00 stuffing, split
+    at restart markers, stop at any other marker.  Returns (segments,
+    index of the terminating marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 array: 2-D grayscale or H×W×3 BGR."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegError("not a JPEG payload (no SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (H, W, [(comp_id, h, v, quant_id)])
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1] if i + 1 < n else 0
+        if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 1 if marker == 0xFF else 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > n:
+            raise JpegError("truncated marker segment")
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                precision, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if precision == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                if tbl.size != 64:
+                    raise JpegError("bad DQT")
+                quant[tid] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                total = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + total])
+                table = _build_huffman_decoder(counts, symbols)
+                (huff_dc if cls == 0 else huff_ac)[tid] = table
+                p += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise JpegError(f"{precision}-bit precision unsupported")
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * ci]))
+            frame = (height, width, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for si in range(ns):
+                cid = seg[1 + 2 * si]
+                tsel = seg[2 + 2 * si]
+                scan_tables[cid] = (tsel >> 4, tsel & 0x0F)
+            segments, _end = _destuff(data, i + 2 + seg_len)
+            return _decode_scan(frame, quant, huff_dc, huff_ac, scan_tables,
+                                segments, restart_interval)
+        i += 2 + seg_len
+    raise JpegError("no SOS marker found")
+
+
+def _decode_scan(frame, quant, huff_dc, huff_ac, scan_tables, segments, restart_interval):
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    reader = _BitReader(segments)
+    # per component: coefficient array (n_blocks, 64) in MCU-raster order
+    coeffs = {
+        c[0]: np.zeros((n_mcus * c[1] * c[2], 64), dtype=np.int32) for c in comps
+    }
+    pred = {c[0]: 0 for c in comps}
+    block_idx = {c[0]: 0 for c in comps}
+
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.next_segment()
+            for cid in pred:
+                pred[cid] = 0
+        for cid, h, v, _q in comps:
+            dc_t = huff_dc.get(scan_tables[cid][0])
+            ac_t = huff_ac.get(scan_tables[cid][1])
+            if dc_t is None or ac_t is None:
+                raise JpegError("scan references undefined Huffman table")
+            for _ in range(h * v):
+                blk = coeffs[cid][block_idx[cid]]
+                s = reader.decode_symbol(dc_t)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[cid] += diff
+                blk[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = reader.decode_symbol(ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise JpegError("AC run past block end")
+                    blk[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+                block_idx[cid] += 1
+
+    # dequantize + dezigzag + one vectorized IDCT per component
+    planes = {}
+    for cid, h, v, qid in comps:
+        if qid not in quant:
+            raise JpegError("frame references undefined quant table")
+        cf = coeffs[cid] * quant[qid][None, :]
+        blocks = np.zeros((cf.shape[0], 64), dtype=np.float64)
+        blocks[:, ZIGZAG] = cf
+        blocks = blocks.reshape(-1, 8, 8)
+        pixels = np.einsum("ij,njk,kl->nil", _T.T, blocks, _T) + 128.0
+        pixels = np.clip(np.round(pixels), 0, 255).astype(np.uint8)
+        bw = mcus_x * h  # blocks per row
+        bh = mcus_y * v
+        plane = (
+            pixels.reshape(mcus_y, mcus_x, v, h, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution by replication, crop to H×W
+        ry, rx = vmax // v, hmax // h
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes[cid] = plane[:height, :width]
+
+    if len(comps) == 1:
+        return planes[comps[0][0]]
+    if len(comps) != 3:
+        raise JpegError(f"{len(comps)}-component scan unsupported")
+    y = planes[comps[0][0]].astype(np.float64)
+    cb = planes[comps[1][0]].astype(np.float64) - 128.0
+    cr = planes[comps[2][0]].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.dstack([b, g, r])), 0, 255).astype(np.uint8)
+
+
+# --- encoder (fixture writer) -----------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality→scaling formula."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_block(bw, coefs, pred, dc_enc, ac_enc):
+    diff = int(coefs[0]) - pred
+    s = abs(diff).bit_length() if diff else 0
+    code, length = dc_enc[s]
+    bw.write(code, length)
+    if s:
+        v = diff if diff > 0 else diff + (1 << s) - 1
+        bw.write(v, s)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if coefs[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_enc[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_enc[0x00]  # EOB
+        bw.write(code, length)
+    return int(coefs[0])
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """uint8 array (2-D gray or H×W×3 BGR) → baseline JFIF bytes.
+    ``subsample=True`` writes 4:2:0 (2×2 chroma), else 4:4:4."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise JpegError(f"unsupported array shape {a.shape}")
+    height, width = a.shape[0], a.shape[1]
+    if height == 0 or width == 0:
+        raise JpegError("zero-dimension image")
+
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        b, g, r = a[:, :, 0].astype(np.float64), a[:, :, 1].astype(np.float64), a[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # 2×2 box average, matching the replication upsample shape
+            def down(p):
+                hh, ww = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                q = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+                return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+
+            planes = [y - 128.0, down(cb) - 128.0, down(cr) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # per-plane: pad to the MCU grid and FDCT+quantize all blocks at once
+    qtabs = [ql, qc]
+    comp_blocks = []
+    for (h, v), plane, qid in zip(samp, planes, qsel):
+        ph, pw = mcus_y * v * 8, mcus_x * h * 8
+        p = np.pad(
+            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge"
+        )
+        blocks = (
+            p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        f = np.einsum("ij,njk,kl->nil", _T, blocks, _T.T).reshape(-1, 64)
+        zz = f[:, ZIGZAG]
+        q = np.round(zz / qtabs[qid][None, :]).astype(np.int32)
+        comp_blocks.append(q.reshape(ph // 8, pw // 8, 64))
+
+    dc_luma_enc = _build_huffman_encoder(DC_LUMA_COUNTS, DC_LUMA_SYMBOLS)
+    ac_luma_enc = _build_huffman_encoder(AC_LUMA_COUNTS, AC_LUMA_SYMBOLS)
+    dc_chroma_enc = _build_huffman_encoder(DC_CHROMA_COUNTS, DC_CHROMA_SYMBOLS)
+    ac_chroma_enc = _build_huffman_encoder(AC_CHROMA_COUNTS, AC_CHROMA_SYMBOLS)
+    encs = [(dc_luma_enc, ac_luma_enc)] + [(dc_chroma_enc, ac_chroma_enc)] * (len(samp) - 1)
+
+    entropy = bytearray()
+    bw = _BitWriter()
+    preds = [0] * len(samp)
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            entropy += bw.out
+            entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * len(samp)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, ((h, v), (dc_enc, ac_enc)) in enumerate(zip(samp, encs)):
+            for bv in range(v):
+                for bh_ in range(h):
+                    blk = comp_blocks[ci][my * v + bv, mx * h + bh_]
+                    preds[ci] = _encode_block(bw, blk, preds[ci], dc_enc, ac_enc)
+    bw.flush()
+    entropy += bw.out
+
+    # --- assemble the JFIF stream -------------------------------------
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, tbl):
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(int(x) for x in tbl)
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, qsel[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, counts, symbols):
+        body = bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, DC_LUMA_COUNTS, DC_LUMA_SYMBOLS)
+    out += dht(1, 0, AC_LUMA_COUNTS, AC_LUMA_SYMBOLS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_COUNTS, DC_CHROMA_SYMBOLS)
+        out += dht(1, 1, AC_CHROMA_COUNTS, AC_CHROMA_SYMBOLS)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tsel = 0 if ci == 0 else 0x11
+        sos += bytes([ci + 1, tsel])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

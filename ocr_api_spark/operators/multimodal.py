@@ -96,6 +96,22 @@ class _Decoder:
         return arr
 
     @staticmethod
+    def _try_jpeg(payload: bytes):
+        import numpy as np
+
+        if payload is None or not payload.startswith(b"\xff\xd8"):
+            return None
+        from ocr_api_spark.kernels.jpeg import JpegError, decode_jpeg
+
+        try:
+            arr = decode_jpeg(payload)
+        except JpegError:
+            return None
+        if arr.ndim not in (2, 3) or arr.dtype != np.uint8 or arr.size == 0:
+            return None
+        return arr
+
+    @staticmethod
     def _try_png(payload: bytes):
         import numpy as np
 
@@ -113,15 +129,18 @@ class _Decoder:
 
     @classmethod
     def _try_pixels(cls, payload: bytes):
-        """(array, kind) for any decodable payload — 'numpy' | 'png' —
-        else (None, None).  Arrays follow the cv2 convention (2-D gray,
-        BGR, BGRA)."""
+        """(array, kind) for any decodable payload — 'numpy' | 'png' |
+        'jpeg' — else (None, None).  Arrays follow the cv2 convention
+        (2-D gray, BGR, BGRA)."""
         arr = cls._try_npy(payload)
         if arr is not None:
             return arr, "numpy"
         arr = cls._try_png(payload)
         if arr is not None:
             return arr, "png"
+        arr = cls._try_jpeg(payload)
+        if arr is not None:
+            return arr, "jpeg"
         return None, None
 
     def decode(self, payload: bytes) -> tuple[list[float], str]:
@@ -344,19 +363,19 @@ def with_mask_regions(df: DataFrame, tokens_col: str = "tokens", h_col: str = "i
 def with_masked_image_b64(
     df: DataFrame, payload_col: str = "payload", tokens_col: str = "tokens"
 ) -> DataFrame:
-    """The S13 sink, end-to-end: decode the ``.npy`` image payload,
-    compute the Aadhaar mask rectangles from the OCR token table (I11),
-    black them out in the pixels (app.py:5775), and emit the masked
-    image base64-encoded (app.py:4888-4893 returns base64 JPEG; the
-    encode here is base64 of the masked ``.npy`` bytes — the JPEG
-    entropy codec is the documented environment gate, everything else
-    is the real dataflow).  Undecodable payloads yield NULL."""
+    """The S13 sink, end-to-end: decode the image payload (.npy, PNG,
+    or JPEG), compute the Aadhaar mask rectangles from the OCR token
+    table (I11), black them out in the pixels (app.py:5775), and emit
+    the masked image as **base64 JPEG** — exactly what the reference
+    returns (app.py:4888-4893, ``cv2.imencode('.jpg')`` + b64), now
+    that ``kernels/jpeg.py`` provides the encoder.  Undecodable
+    payloads yield NULL."""
     import base64
-    import io
 
-    import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
+    from ocr_api_spark.kernels import image as im
+    from ocr_api_spark.kernels.jpeg import encode_jpeg
     from ocr_api_spark.kernels.masking import apply_mask_regions
 
     @pandas_udf(StringType())
@@ -367,14 +386,13 @@ def with_masked_image_b64(
             if arr is None:
                 out.append(None)
                 continue
+            arr = im.alpha_flatten(arr)  # JPEG has no alpha channel
             if toks is None:
                 toks = []
             triples = [(t["text"], t["conf"], t["box"]) for t in toks]
             regions = mask_aadhaar_regions(triples, int(arr.shape[0]), int(arr.shape[1]))
             masked = apply_mask_regions(arr, regions)
-            buf = io.BytesIO()
-            np.save(buf, masked, allow_pickle=False)
-            out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+            out.append(base64.b64encode(encode_jpeg(masked, quality=90)).decode("ascii"))
         return pd.Series(out)
 
     return df.withColumn("masked_image_b64", mask_b64(F.col(payload_col), F.col(tokens_col)))

@@ -286,11 +286,18 @@ def test_masked_image_b64_sink(session):
     )
     out = {r["url"]: r["masked_image_b64"] for r in with_masked_image_b64(df).collect()}
     assert out["m2"] is None
-    masked = np.load(io.BytesIO(base64.b64decode(out["m1"])), allow_pickle=False)
+    # the payload is now REAL base64 JPEG (reference app.py:4888-4893);
+    # decode with our own baseline decoder and allow lossy-compression
+    # tolerance away from the hard mask edges
+    from ocr_api_spark.kernels.jpeg import decode_jpeg
+
+    jpeg_bytes = base64.b64decode(out["m1"])
+    assert jpeg_bytes.startswith(b"\xff\xd8")
+    masked = decode_jpeg(jpeg_bytes)
     assert masked.shape == img.shape
     # mask covers the first 8/12ths of the box width: (140-20)//12*8 = 80,
-    # corners INCLUSIVE (cv2.rectangle thickness=-1 fills both endpoints)
-    assert masked[40:61, 20:101].max() == 0  # blacked out incl. boundary px
-    assert masked[40:61, 101:140].min() == 200  # last 4 digits visible
-    assert masked[39, 20:101].min() == 200  # row above the box untouched
-    assert masked[0:12, 0:10].min() == 200  # non-aadhaar token untouched
+    # corners INCLUSIVE (cv2.rectangle thickness=-1 fills both endpoints);
+    # sample interiors (JPEG ringing lives at the block boundaries)
+    assert masked[45:56, 30:90].max() <= 16  # blacked out
+    assert masked[45:56, 110:135].min() >= 180  # last 4 digits visible
+    assert masked[5:10, 2:8].min() >= 180  # non-aadhaar token untouched
