@@ -964,6 +964,49 @@ def _emb_near_dup_auto(spark, sf_dir):
     )
 
 
+def _emb_near_dup_multiband(spark, sf_dir):
+    """The banded recall path: two disjoint 6-dim sign bands (dims 1-6
+    and 7-12) — a pair is a candidate if EITHER band matches, and the
+    cross-band duplicates dedup before output.  This is the lever that
+    buys recall back as the auto-derived ``bits`` grows with n."""
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        near_dup_pairs(emb, 0.35, bits=6, n_bands=2)
+        .withColumn("id_a", F.col("id_a").cast("bigint"))
+        .withColumn("id_b", F.col("id_b").cast("bigint"))
+    )
+
+
+def _sign_bucket_terms(bits: int, offset: int) -> str:
+    return "\n   + ".join(
+        f"(CASE WHEN embedding[{offset + i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+_EMB_NEAR_DUP_MULTIBAND_SQL = f"""
+WITH b0 AS (
+  SELECT vec_id, embedding, ({_sign_bucket_terms(6, 0)}) AS bucket FROM embeddings
+),
+b1 AS (
+  SELECT vec_id, embedding, ({_sign_bucket_terms(6, 6)}) AS bucket FROM embeddings
+),
+p AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 3)::DOUBLE AS cosine
+  FROM b0 l JOIN b0 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  UNION
+  SELECT l.vec_id, r.vec_id,
+         round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 3)::DOUBLE
+  FROM b1 l JOIN b1 r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine
+FROM p WHERE cosine >= 0.35
+"""
+
+
 def _auto_bits_bucket_terms(max_bits: int = 16) -> str:
     """Guarded bucket terms: term i contributes 2^i only while i < bits,
     so ONE static SQL string computes the same corpus-size-derived
@@ -1531,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": _doc_winnowing,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_auto": _emb_near_dup_auto,
+        "emb_near_dup_multiband": _emb_near_dup_multiband,
         "doc_bpe_tokens": _doc_bpe_tokens,
     }
 
@@ -1589,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnowing": _DOC_WINNOW_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_auto": _EMB_NEAR_DUP_AUTO_SQL,
+        "emb_near_dup_multiband": _EMB_NEAR_DUP_MULTIBAND_SQL,
         "doc_bpe_tokens": _DOC_BPE_SQL,
         "extract_pan_over_documents": _PAN_EXPECTED_SQL,
         "extract_all_branches": _BRANCHES_EXPECTED_SQL,
