@@ -248,6 +248,9 @@ _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 _COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 
@@ -310,14 +313,122 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objects
 
 
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF-variant LZW (T.81's cousin in the PDF 1.1 era and a
+    spec-complete filter here): MSB-first variable-width codes from 9
+    bits, 256=clear / 257=EOD, width bumps at table sizes 511/1023/2047
+    (one code early when EarlyChange=1, the PDF default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise MiniPdfError("bad LZW stream: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise MiniPdfError("bad LZW stream: code out of range")
+            out += entry
+            prev = entry
+            # the decoder runs one table entry behind the encoder, which
+            # is exactly why EarlyChange exists: bump one code early
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """The matching fixture writer, so decode is testable by round-trip."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # leading clear, as most PDF writers emit
+    seq = b""
+    for byte in bytes(data):
+        cand = seq + bytes([byte])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if next_code + early_change <= 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+        else:  # table full: clear, as the PDF spec requires of encoders
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        seq = bytes([byte])
+    if seq:
+        emit(table[seq])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_stream(header: bytes, raw: bytes) -> bytes:
     """Apply the /Filter chain.  FlateDecode is stdlib zlib (with PNG
-    predictors via kernels/png.unfilter_scanlines); ASCIIHexDecode is
-    trivial; anything else (LZW/DCT/...) is the documented entropy-codec
-    gate and raises MiniPdfError."""
+    predictors via kernels/png.unfilter_scanlines); LZWDecode and
+    ASCIIHexDecode are implemented here; DCT/JBIG2/JPX raster codecs
+    raise MiniPdfError (they are image data, not text streams)."""
     fm = _FILTER_RE.search(header)
     if not fm:
         return raw
+
+    def unpredict(data: bytes) -> bytes:
+        pm = _PREDICTOR_RE.search(header)
+        pred = int(pm.group(1)) if pm else 1
+        if pred >= 10:  # PNG row predictors share the image unfilter
+            from ocr_api_spark.kernels.png import PngError, unfilter_scanlines
+
+            cols = int(m.group(1)) if (m := _COLUMNS_RE.search(header)) else 1
+            colors = int(m.group(1)) if (m := _COLORS_RE.search(header)) else 1
+            bpc = int(m.group(1)) if (m := _BPC_RE.search(header)) else 8
+            row_bytes = (cols * colors * bpc + 7) // 8
+            bpp = max(1, colors * bpc // 8)
+            try:
+                return unfilter_scanlines(data, row_bytes, bpp)
+            except PngError as e:
+                raise MiniPdfError(f"bad predictor data: {e}") from e
+        if pred > 1:
+            raise MiniPdfError(f"unsupported /Predictor {pred}")
+        return data
+
     data = raw
     for name in _NAME_RE.findall(fm.group(1)):
         if name == b"FlateDecode":
@@ -327,22 +438,10 @@ def _decode_stream(header: bytes, raw: bytes) -> bytes:
                 data = zlib.decompress(data)
             except zlib.error as e:
                 raise MiniPdfError(f"bad Flate stream: {e}") from e
-            pm = _PREDICTOR_RE.search(header)
-            pred = int(pm.group(1)) if pm else 1
-            if pred >= 10:  # PNG row predictors share the image unfilter
-                from ocr_api_spark.kernels.png import PngError, unfilter_scanlines
-
-                cols = int(m.group(1)) if (m := _COLUMNS_RE.search(header)) else 1
-                colors = int(m.group(1)) if (m := _COLORS_RE.search(header)) else 1
-                bpc = int(m.group(1)) if (m := _BPC_RE.search(header)) else 8
-                row_bytes = (cols * colors * bpc + 7) // 8
-                bpp = max(1, colors * bpc // 8)
-                try:
-                    data = unfilter_scanlines(data, row_bytes, bpp)
-                except PngError as e:
-                    raise MiniPdfError(f"bad Flate predictor data: {e}") from e
-            elif pred > 1:
-                raise MiniPdfError(f"unsupported /Predictor {pred}")
+            data = unpredict(data)
+        elif name == b"LZWDecode":
+            ec = int(m.group(1)) if (m := _EARLYCHANGE_RE.search(header)) else 1
+            data = unpredict(lzw_decode(data, early_change=ec))
         elif name == b"ASCIIHexDecode":
             hx = re.sub(rb"[\s>]", b"", data)
             if len(hx) % 2:
@@ -354,6 +453,40 @@ def _decode_stream(header: bytes, raw: bytes) -> bytes:
         else:
             raise MiniPdfError(f"unsupported stream filter /{name.decode('ascii')}")
     return data
+
+
+def _expand_object_streams(objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """PDF 1.5+ object streams: an object with ``/Type /ObjStm`` packs N
+    dictionary objects inside its (usually Flate) stream — modern
+    writers put page/catalog dicts there, which a header-scan alone
+    never sees.  The stream starts with N ``objnum offset`` pairs
+    (offsets relative to /First); contained objects may not themselves
+    carry streams, so they join the map as plain bodies.  Top-level
+    definitions win on conflicts."""
+    for _num, (hdr, raw) in list(objects.items()):
+        if raw is None or b"/ObjStm" not in hdr:
+            continue
+        nm = _OBJSTM_N_RE.search(hdr)
+        fm = _OBJSTM_FIRST_RE.search(hdr)
+        if not nm or not fm:
+            continue
+        try:
+            data = _decode_stream(hdr, raw)
+        except MiniPdfError:
+            continue  # an unreadable ObjStm degrades, not poisons
+        n, first = int(nm.group(1)), int(fm.group(1))
+        head = data[:first].split()
+        if len(head) < 2 * n:
+            continue
+        try:
+            pairs = [(int(head[2 * i]), int(head[2 * i + 1])) for i in range(n)]
+        except ValueError:
+            continue
+        for idx, (onum, off) in enumerate(pairs):
+            end = pairs[idx + 1][1] if idx + 1 < n else len(data) - first
+            if off < 0 or end < off:
+                continue
+            objects.setdefault(onum, (data[first + off : first + end], None))
 
 
 def _page_order(objects: dict[int, tuple[bytes, bytes | None]], page_nums: list[int]) -> list[int]:
@@ -405,6 +538,7 @@ def parse_pdf(data: bytes) -> list[PdfPage]:
     if not data.startswith(b"%PDF"):
         raise MiniPdfError("not a PDF payload")
     objects = _scan_objects(data)
+    _expand_object_streams(objects)
     page_nums = [
         num
         for num, (hdr, _) in sorted(objects.items())

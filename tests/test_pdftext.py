@@ -69,8 +69,8 @@ def test_content_stream_operators():
 
 def test_unsupported_filter_rejected():
     pdf = write_minimal_pdf([[(72, 72, 12, "x")]])
-    pdf = pdf.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
-    with pytest.raises(MiniPdfError, match="LZWDecode"):
+    pdf = pdf.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
+    with pytest.raises(MiniPdfError, match="DCTDecode"):
         parse_pdf(pdf)
     with pytest.raises(MiniPdfError):
         parse_pdf(b"not a pdf at all")
@@ -388,3 +388,73 @@ def test_pdf_from_text_roundtrip_property():
         ]
 
     check()
+
+
+def test_lzw_roundtrip_crosses_width_bumps():
+    import random
+
+    from ocr_api_spark.sources.pdftext import lzw_decode, lzw_encode
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"A",
+        b"AAAAAAAAAAAAAAAAAAAA",
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        bytes(rng.randrange(256) for _ in range(5000)),   # crosses 9->10->11 bits
+        (b"the quick brown fox " * 400),                   # repetitive, long table
+    ]
+    for raw in cases:
+        assert lzw_decode(lzw_encode(raw)) == raw, len(raw)
+    # EarlyChange=0 variant round-trips with matching parameter
+    raw = bytes(rng.randrange(256) for _ in range(3000))
+    assert lzw_decode(lzw_encode(raw, early_change=0), early_change=0) == raw
+
+
+def test_lzw_filtered_content_stream():
+    from ocr_api_spark.sources.pdftext import lzw_encode
+
+    content = b"BT /F1 12 Tf 72 700 Td (lzw text layer) Tj ET"
+    z = lzw_encode(content)
+    pdf = (
+        b"%PDF-1.2\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + z + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "lzw text layer"
+
+
+def test_object_stream_pages():
+    """PDF 1.5 /ObjStm: the catalog, pages node, and page dict live
+    INSIDE a Flate-compressed object stream (what modern writers emit);
+    only the content stream is a top-level object."""
+    import zlib
+
+    content = b"BT /F1 12 Tf 72 700 Td (from an objstm) Tj ET"
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    bodies = b""
+    pairs = []
+    for num, body in inner:
+        pairs.append(f"{num} {len(bodies)}".encode())
+        bodies += body + b"\n"
+    head = b" ".join(pairs) + b"\n"
+    payload = head + bodies
+    z = zlib.compress(payload)
+    pdf = (
+        b"%PDF-1.5\n"
+        b"5 0 obj\n<< /Type /ObjStm /N 3 /First " + str(len(head)).encode()
+        + b" /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert pdf_text(pdf) == "from an objstm\n"
