@@ -1,24 +1,31 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 / JFIF), no cv2/PIL.
+"""Pure-numpy JPEG codec (ITU-T T.81 / JFIF), no cv2/PIL.
 
 Round-2 verdict called JPEG's Huffman+DCT "the genuine heavy lift" of
-the image branch — this module closes it for baseline sequential JPEGs
-(SOF0, the overwhelming share of scanned-document payloads):
+the image branch — this module closes it for both of the forms real
+corpora contain: baseline sequential (SOF0/SOF1, the scanned-document
+share) and **progressive** (SOF2 — spectral selection AND successive
+approximation — the dominant web-JPEG form):
 
-- ``decode_jpeg``: marker parse (DQT/DHT/SOF0/SOS/DRI, APPn/COM skip),
-  byte-destuffed Huffman entropy decode with restart-marker support,
-  dequantize + dezigzag, vectorized 8×8 IDCT over all blocks at once
-  (orthonormal DCT matrix, one einsum per component), sampling-factor
-  plane assembly with replication chroma upsample, JFIF YCbCr→BGR (the
-  cv2 convention the rest of the image branch uses, like
-  ``cv2.imdecode`` in the reference flow, app.py:419-443, 5099).
+- ``decode_jpeg``: marker parse (DQT/DHT/SOF/SOS/DRI, APPn/COM skip),
+  byte-destuffed Huffman entropy decode with restart-marker support;
+  progressive scans accumulate into per-component coefficient planes
+  (DC first/refine, AC first/refine with EOB-run state, per T.81
+  G.1.2); at EOI: dequantize + dezigzag, vectorized 8×8 IDCT over all
+  blocks at once (orthonormal DCT matrix, one einsum per component),
+  sampling-factor plane assembly with replication chroma upsample,
+  JFIF YCbCr→BGR (the cv2 convention the rest of the image branch
+  uses, like ``cv2.imdecode`` in the reference flow, app.py:419-443).
 - ``encode_jpeg``: the matching fixture writer — Annex K quantization
   (quality-scaled, libjpeg's public formula) and Huffman tables,
-  4:4:4 or 2×2-subsampled 4:2:0, restart intervals optional — so
-  decode tests cover every path by round-trip (JPEG is lossy: tests
-  assert PSNR, plus exactness of the IDCT/Huffman layers separately).
+  4:4:4 or 2×2-subsampled 4:2:0, restart intervals, and a
+  ``progressive=True`` spectral-selection scan script — so decode
+  tests cover every structural path by round-trip (JPEG is lossy:
+  tests assert PSNR and progressive==baseline pixel identity; the
+  successive-approximation refinement paths are pinned by a
+  hand-built bit-exact stream in tests/test_jpeg.py).
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``JpegError`` — decoders route that to the opaque-payload fallback.
+Lossless/hierarchical SOFs, arithmetic coding, and 12-bit precision
+raise ``JpegError`` — decoders route that to the opaque fallback.
 """
 
 from __future__ import annotations
@@ -239,14 +246,20 @@ def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 array: 2-D grayscale or H×W×3 BGR."""
+    """JPEG bytes → uint8 array: 2-D grayscale or H×W×3 BGR.  Handles
+    baseline sequential (SOF0/SOF1) and **progressive** (SOF2: spectral
+    selection + successive approximation, the common web-JPEG form) by
+    accumulating every scan into per-component coefficient planes and
+    reconstructing once at EOI."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG payload (no SOI)")
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None  # (H, W, [(comp_id, h, v, quant_id)])
+    frame = None  # (H, W, [(comp_id, h, v, quant_id)], progressive)
+    coeffs: dict[int, np.ndarray] = {}  # cid -> (bh_pad, bw_pad, 64)
     restart_interval = 0
+    scans_done = 0
     i = 2
     n = len(data)
     while i < n:
@@ -287,102 +300,281 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 table = _build_huffman_decoder(counts, symbols)
                 (huff_dc if cls == 0 else huff_ac)[tid] = table
                 p += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise JpegError(f"{precision}-bit precision unsupported")
             height, width = struct.unpack(">HH", seg[1:5])
+            if height == 0 or width == 0:
+                raise JpegError("zero-dimension frame")
             ncomp = seg[5]
             comps = []
             for ci in range(ncomp):
                 cid = seg[6 + 3 * ci]
                 hv = seg[7 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * ci]))
-            frame = (height, width, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+            frame = (height, width, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            coeffs = {
+                c[0]: np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int32)
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise JpegError("SOS before SOF0")
+                raise JpegError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for si in range(ns):
                 cid = seg[1 + 2 * si]
                 tsel = seg[2 + 2 * si]
-                scan_tables[cid] = (tsel >> 4, tsel & 0x0F)
-            segments, _end = _destuff(data, i + 2 + seg_len)
-            return _decode_scan(frame, quant, huff_dc, huff_ac, scan_tables,
-                                segments, restart_interval)
+                scan_comps.append((cid, tsel >> 4, tsel & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            segments, end = _destuff(data, i + 2 + seg_len)
+            _decode_scan_into(
+                frame, coeffs, huff_dc, huff_ac, scan_comps,
+                ss, se, ah, al, segments, restart_interval,
+            )
+            scans_done += 1
+            i = end
+            continue
         i += 2 + seg_len
-    raise JpegError("no SOS marker found")
+    if frame is None or scans_done == 0:
+        raise JpegError("no SOS marker found")
+    return _reconstruct(frame, quant, coeffs)
 
 
-def _decode_scan(frame, quant, huff_dc, huff_ac, scan_tables, segments, restart_interval):
-    height, width, comps = frame
+def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
+                      ss, se, ah, al, segments, restart_interval):
+    """Decode ONE entropy-coded scan into the coefficient planes.
+    Baseline: the single full-band scan.  Progressive: DC first/refine
+    (interleaved or not), AC first/refine (single component per spec,
+    with EOB-run state)."""
+    height, width, comps, progressive = frame
+    by_id = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-
     reader = _BitReader(segments)
-    # per component: coefficient array (n_blocks, 64) in MCU-raster order
-    coeffs = {
-        c[0]: np.zeros((n_mcus * c[1] * c[2], 64), dtype=np.int32) for c in comps
-    }
-    pred = {c[0]: 0 for c in comps}
-    block_idx = {c[0]: 0 for c in comps}
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    eobrun = [0]
 
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            reader.next_segment()
-            for cid in pred:
-                pred[cid] = 0
-        for cid, h, v, _q in comps:
-            dc_t = huff_dc.get(scan_tables[cid][0])
-            ac_t = huff_ac.get(scan_tables[cid][1])
-            if dc_t is None or ac_t is None:
-                raise JpegError("scan references undefined Huffman table")
-            for _ in range(h * v):
-                blk = coeffs[cid][block_idx[cid]]
-                s = reader.decode_symbol(dc_t)
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                pred[cid] += diff
-                blk[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = reader.decode_symbol(ac_t)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise JpegError("AC run past block end")
-                    blk[k] = _extend(reader.read_bits(s), s)
+    def dc_table(tid):
+        t = huff_dc.get(tid)
+        if t is None:
+            raise JpegError("scan references undefined DC table")
+        return t
+
+    def ac_table(tid):
+        t = huff_ac.get(tid)
+        if t is None:
+            raise JpegError("scan references undefined AC table")
+        return t
+
+    def baseline_block(blk, cid, dc_t, ac_t):
+        s = reader.decode_symbol(dc_t)
+        pred[cid] += _extend(reader.read_bits(s), s) if s else 0
+        blk[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC run past block end")
+            blk[k] = _extend(reader.read_bits(s), s)
+            k += 1
+
+    def dc_block(blk, cid, dc_t):
+        if ah == 0:  # first pass
+            s = reader.decode_symbol(dc_t)
+            pred[cid] += _extend(reader.read_bits(s), s) if s else 0
+            blk[0] = pred[cid] << al
+        else:  # refinement: one correction bit
+            if reader.read_bit():
+                blk[0] |= 1 << al
+
+    def ac_first_block(blk, ac_t):
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun[0] = (1 << r) - 1
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise JpegError("AC run past band end")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine_block(blk, ac_t):
+        # T.81 G.1.2.3: correction bits for already-nonzero coefficients,
+        # newly-significant ±1<<al placed at zero-history positions
+        p1, m1 = 1 << al, -(1 << al)
+
+        def refine_existing(k):
+            if reader.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else m1
+
+        k = ss
+        if eobrun[0] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(ac_t)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        # the current block is the first of the EOB run:
+                        # its remaining coefficients still get correction
+                        # bits below, then the tail decrement counts it
+                        eobrun[0] = (1 << r) + (reader.read_bits(r) if r else 0)
+                        break
+                    val = 0  # ZRL: pass 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise JpegError("bad refinement magnitude category")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if blk[k]:
+                        refine_existing(k)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
                     k += 1
-                block_idx[cid] += 1
+        if eobrun[0] > 0:
+            while k <= se:
+                if blk[k]:
+                    refine_existing(k)
+                k += 1
+            eobrun[0] -= 1
 
-    # dequantize + dezigzag + one vectorized IDCT per component
+    interleaved = len(scan_comps) > 1
+    is_dc_scan = ss == 0
+
+    def reset_state():
+        for cid in pred:
+            pred[cid] = 0
+        eobrun[0] = 0
+
+    if not progressive:
+        units = mcus_x * mcus_y
+        for mcu in range(units):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.next_segment()
+                reset_state()
+            my, mx = divmod(mcu, mcus_x)
+            for cid, dct, act in scan_comps:
+                _, h, v, _q = by_id[cid]
+                for bv in range(v):
+                    for bh in range(h):
+                        baseline_block(
+                            coeffs[cid][my * v + bv, mx * h + bh], cid,
+                            dc_table(dct), ac_table(act),
+                        )
+        return
+
+    if is_dc_scan:
+        if se != 0:
+            raise JpegError("progressive DC scan with Se != 0")
+        units = mcus_x * mcus_y if interleaved else None
+        if interleaved:
+            for mcu in range(units):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.next_segment()
+                    reset_state()
+                my, mx = divmod(mcu, mcus_x)
+                for cid, dct, _act in scan_comps:
+                    _, h, v, _q = by_id[cid]
+                    for bv in range(v):
+                        for bh in range(h):
+                            dc_block(coeffs[cid][my * v + bv, mx * h + bh], cid,
+                                     dc_table(dct))
+        else:
+            cid, dct, _act = scan_comps[0]
+            _, h, v, _q = by_id[cid]
+            bw = -(-(-(-width * h // hmax)) // 8)
+            bh_n = -(-(-(-height * v // vmax)) // 8)
+            unit = 0
+            for by in range(bh_n):
+                for bx in range(bw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader.next_segment()
+                        reset_state()
+                    dc_block(coeffs[cid][by, bx], cid, dc_table(dct))
+                    unit += 1
+        return
+
+    # AC scan: single component, non-interleaved (T.81 requirement)
+    if interleaved:
+        raise JpegError("progressive AC scan must be non-interleaved")
+    cid, _dct, act = scan_comps[0]
+    _, h, v, _q = by_id[cid]
+    comp_w = -(-width * h // hmax)
+    comp_h = -(-height * v // vmax)
+    bw = -(-comp_w // 8)
+    bh_n = -(-comp_h // 8)
+    unit = 0
+    for by in range(bh_n):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.next_segment()
+                reset_state()
+            blk = coeffs[cid][by, bx]
+            if ah == 0:
+                ac_first_block(blk, ac_table(act))
+            else:
+                ac_refine_block(blk, ac_table(act))
+            unit += 1
+
+
+def _reconstruct(frame, quant, coeffs):
+    height, width, comps, _progressive = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
     planes = {}
     for cid, h, v, qid in comps:
         if qid not in quant:
             raise JpegError("frame references undefined quant table")
-        cf = coeffs[cid] * quant[qid][None, :]
+        cf = coeffs[cid].reshape(-1, 64) * quant[qid][None, :]
         blocks = np.zeros((cf.shape[0], 64), dtype=np.float64)
         blocks[:, ZIGZAG] = cf
         blocks = blocks.reshape(-1, 8, 8)
         pixels = np.einsum("ij,njk,kl->nil", _T.T, blocks, _T) + 128.0
         pixels = np.clip(np.round(pixels), 0, 255).astype(np.uint8)
-        bw = mcus_x * h  # blocks per row
+        bw = mcus_x * h
         bh = mcus_y * v
         plane = (
-            pixels.reshape(mcus_y, mcus_x, v, h, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
+            pixels.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
         )
         # upsample to full resolution by replication, crop to H×W
@@ -394,7 +586,7 @@ def _decode_scan(frame, quant, huff_dc, huff_ac, scan_tables, segments, restart_
     if len(comps) == 1:
         return planes[comps[0][0]]
     if len(comps) != 3:
-        raise JpegError(f"{len(comps)}-component scan unsupported")
+        raise JpegError(f"{len(comps)}-component frame unsupported")
     y = planes[comps[0][0]].astype(np.float64)
     cb = planes[comps[1][0]].astype(np.float64) - 128.0
     cr = planes[comps[2][0]].astype(np.float64) - 128.0
@@ -437,14 +629,17 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _encode_block(bw, coefs, pred, dc_enc, ac_enc):
+def _encode_dc(bw, coefs, pred, dc_enc):
     diff = int(coefs[0]) - pred
     s = abs(diff).bit_length() if diff else 0
     code, length = dc_enc[s]
     bw.write(code, length)
     if s:
-        v = diff if diff > 0 else diff + (1 << s) - 1
-        bw.write(v, s)
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return int(coefs[0])
+
+
+def _encode_ac_band(bw, coefs, ac_enc):
     run = 0
     last_nz = 0
     for k in range(1, 64):
@@ -465,15 +660,23 @@ def _encode_block(bw, coefs, pred, dc_enc, ac_enc):
         bw.write(v if v > 0 else v + (1 << s) - 1, s)
         run = 0
     if last_nz < 63:
-        code, length = ac_enc[0x00]  # EOB
+        code, length = ac_enc[0x00]  # EOB (run of 1 in progressive terms)
         bw.write(code, length)
-    return int(coefs[0])
+
+
+def _encode_block(bw, coefs, pred, dc_enc, ac_enc):
+    new_pred = _encode_dc(bw, coefs, pred, dc_enc)
+    _encode_ac_band(bw, coefs, ac_enc)
+    return new_pred
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """uint8 array (2-D gray or H×W×3 BGR) → baseline JFIF bytes.
-    ``subsample=True`` writes 4:2:0 (2×2 chroma), else 4:4:4."""
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
+    """uint8 array (2-D gray or H×W×3 BGR) → JFIF bytes.
+    ``subsample=True`` writes 4:2:0 (2×2 chroma), else 4:4:4.
+    ``progressive=True`` emits SOF2 with a spectral-selection scan
+    script (DC scan, then per-component 1-63 AC bands); restart
+    intervals apply to the baseline form only."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -535,26 +738,63 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
     ac_chroma_enc = _build_huffman_encoder(AC_CHROMA_COUNTS, AC_CHROMA_SYMBOLS)
     encs = [(dc_luma_enc, ac_luma_enc)] + [(dc_chroma_enc, ac_chroma_enc)] * (len(samp) - 1)
 
-    entropy = bytearray()
-    bw = _BitWriter()
-    preds = [0] * len(samp)
-    rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            bw.flush()
-            entropy += bw.out
-            entropy += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
+    ncomp = len(samp)
+    scans: list[tuple[bytes, bytes]] = []  # (SOS body, entropy bytes)
+
+    def sos_body(comp_sel: list[int], ss: int, se: int) -> bytes:
+        body = bytes([len(comp_sel)])
+        for ci in comp_sel:
+            body += bytes([ci + 1, 0 if ci == 0 else 0x11])
+        return body + bytes([ss, se, 0])
+
+    if progressive:
+        # scan script: one interleaved DC scan, then Ss=1..63 AC bands
+        # per component (T.81 requires AC scans be single-component);
+        # Ah=Al=0 spectral selection — a legal progressive stream that
+        # exercises the decoder's multi-scan accumulation and EOB runs
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, ((h, v), (dc_enc, _ac)) in enumerate(zip(samp, encs)):
+                for bv in range(v):
+                    for bh_ in range(h):
+                        blk = comp_blocks[ci][my * v + bv, mx * h + bh_]
+                        preds[ci] = _encode_dc(bw, blk, preds[ci], dc_enc)
+        bw.flush()
+        scans.append((sos_body(list(range(ncomp)), 0, 0), bytes(bw.out)))
+        for ci, ((h, v), (_dc, ac_enc)) in enumerate(zip(samp, encs)):
+            comp_w = -(-width * h // hmax)
+            comp_h = -(-height * v // vmax)
+            bw_n, bh_n = -(-comp_w // 8), -(-comp_h // 8)
             bw = _BitWriter()
-            preds = [0] * len(samp)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, ((h, v), (dc_enc, ac_enc)) in enumerate(zip(samp, encs)):
-            for bv in range(v):
-                for bh_ in range(h):
-                    blk = comp_blocks[ci][my * v + bv, mx * h + bh_]
-                    preds[ci] = _encode_block(bw, blk, preds[ci], dc_enc, ac_enc)
-    bw.flush()
-    entropy += bw.out
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    _encode_ac_band(bw, comp_blocks[ci][by, bx], ac_enc)
+            bw.flush()
+            scans.append((sos_body([ci], 1, 63), bytes(bw.out)))
+    else:
+        entropy = bytearray()
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        rst = 0
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                entropy += bw.out
+                entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                bw = _BitWriter()
+                preds = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for ci, ((h, v), (dc_enc, ac_enc)) in enumerate(zip(samp, encs)):
+                for bv in range(v):
+                    for bh_ in range(h):
+                        blk = comp_blocks[ci][my * v + bv, mx * h + bh_]
+                        preds[ci] = _encode_block(bw, blk, preds[ci], dc_enc, ac_enc)
+        bw.flush()
+        entropy += bw.out
+        scans.append((sos_body(list(range(ncomp)), 0, 63), bytes(entropy)))
 
     # --- assemble the JFIF stream -------------------------------------
     out = bytearray(b"\xff\xd8")  # SOI
@@ -567,12 +807,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
     if not gray:
         out += dqt(1, qc)
 
-    ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
     for ci in range(ncomp):
         h, v = samp[ci]
         sof += bytes([ci + 1, (h << 4) | v, qsel[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(">H", 2 + len(sof)) + sof
 
     def dht(cls, tid, counts, symbols):
         body = bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
@@ -584,15 +823,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
         out += dht(0, 1, DC_CHROMA_COUNTS, DC_CHROMA_SYMBOLS)
         out += dht(1, 1, AC_CHROMA_COUNTS, AC_CHROMA_SYMBOLS)
 
-    if restart_interval:
+    if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        tsel = 0 if ci == 0 else 0x11
-        sos += bytes([ci + 1, tsel])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += entropy
+    for body, entropy_bytes in scans:
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+        out += entropy_bytes
     out += b"\xff\xd9"  # EOI
     return bytes(out)

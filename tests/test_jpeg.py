@@ -78,7 +78,10 @@ def test_noise_roundtrip_reasonable():
     "mutate,msg",
     [
         (lambda d: b"xx" + d[2:], "SOI"),
-        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1), "non-baseline"),
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc3", 1), "unsupported SOF"),  # lossless
+        # baseline entropy reinterpreted as SOF2: the full-band scan is
+        # an illegal progressive DC scan and must fail cleanly
+        (lambda d: d.replace(b"\xff\xc0", b"\xff\xc2", 1), "DC scan"),
         (lambda d: d[:40], None),  # truncated anywhere: some JpegError
     ],
 )
@@ -113,3 +116,116 @@ def test_spark_image_features_jpeg(tmp_path):
     row = image_features(df).collect()[0]
     assert row["decode_status"] == "jpeg"
     assert (row["feature"][0], row["feature"][1]) == (24.0, 36.0)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_decodes_identical_to_baseline(subsample):
+    """Same coefficients, different scan order: the progressive stream
+    must reconstruct the exact same pixels as the baseline stream."""
+    img = _gradient(48, 64, channels=3)
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsample=subsample))
+    prog_data = encode_jpeg(img, quality=90, subsample=subsample, progressive=True)
+    assert b"\xff\xc2" in prog_data  # SOF2
+    assert prog_data.count(b"\xff\xda") == 4  # DC scan + 3 AC band scans
+    np.testing.assert_array_equal(decode_jpeg(prog_data), base)
+
+
+def test_progressive_gray_and_odd_dims():
+    for shape in [(8, 8), (17, 23), (40, 56)]:
+        img = _gradient(*shape)
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        prog = decode_jpeg(encode_jpeg(img, quality=90, progressive=True))
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_successive_approximation_hand_stream():
+    """Hand-built SOF2 stream exercising the paths our encoder does not
+    emit: DC first at Al=1 + DC refinement, AC first at Al=1 + AC
+    refinement with correction bits and an EOB run.  Block coefficients
+    (zigzag): DC=6, k1=5, k3=-3, k10=1, quant all-ones."""
+    import struct
+    import zlib  # noqa: F401  (only to mirror test style)
+
+    from ocr_api_spark.kernels.jpeg import (
+        AC_LUMA_COUNTS,
+        AC_LUMA_SYMBOLS,
+        DC_LUMA_COUNTS,
+        DC_LUMA_SYMBOLS,
+        ZIGZAG,
+        _BitWriter,
+        _build_huffman_encoder,
+        _T,
+    )
+
+    dc_enc = _build_huffman_encoder(DC_LUMA_COUNTS, DC_LUMA_SYMBOLS)
+    ac_enc = _build_huffman_encoder(AC_LUMA_COUNTS, AC_LUMA_SYMBOLS)
+
+    def scan(body, entropy):
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body + entropy
+
+    # scan 1: DC first, Al=1 -> send 6>>1 = 3 (category 2, bits '11')
+    b1 = _BitWriter()
+    code, ln = dc_enc[2]
+    b1.write(code, ln)
+    b1.write(3, 2)
+    b1.flush()
+    s1 = scan(bytes([1, 1, 0x00, 0, 0, 0x01]), bytes(b1.out))
+
+    # scan 2: DC refinement Ah=1,Al=0 -> one bit: 6 & 1 = 0
+    b2 = _BitWriter()
+    b2.write(0, 1)
+    b2.flush()
+    s2 = scan(bytes([1, 1, 0x00, 0, 0, 0x10]), bytes(b2.out))
+
+    # scan 3: AC first, Ss=1,Se=63,Al=1 -> k1: 5//2=2 (run 0, cat 2),
+    # k3: -3//2 = -1 (run 1, cat 1), then EOB (k10's 1>>1 == 0)
+    b3 = _BitWriter()
+    code, ln = ac_enc[0x02]
+    b3.write(code, ln)
+    b3.write(2, 2)
+    code, ln = ac_enc[0x11]
+    b3.write(code, ln)
+    b3.write(0, 1)  # -1 -> bits 0
+    code, ln = ac_enc[0x00]
+    b3.write(code, ln)  # EOB
+    b3.flush()
+    s3 = scan(bytes([1, 1, 0x00, 1, 63, 0x01]), bytes(b3.out))
+
+    # scan 4: AC refinement Ah=1,Al=0: new significant +1 at k10 after 7
+    # zero-history coeffs (k2,k4..k9) -> RS 0x71, sign 1, then correction
+    # bits for k1 (5&1=1) and k3 (3&1=1) read during the walk; then EOB
+    b4 = _BitWriter()
+    code, ln = ac_enc[0x71]
+    b4.write(code, ln)
+    b4.write(1, 1)  # sign: positive
+    b4.write(1, 1)  # correction k1
+    b4.write(1, 1)  # correction k3
+    code, ln = ac_enc[0x00]
+    b4.write(code, ln)  # EOB run of 1
+    b4.flush()
+    s4 = scan(bytes([1, 1, 0x00, 1, 63, 0x10]), bytes(b4.out))
+
+    def dht(cls, tid, counts, symbols):
+        body = bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+        + b"\xff\xc2" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 8, 8)
+        + bytes([1, 1, 0x11, 0])
+        + dht(0, 0, DC_LUMA_COUNTS, DC_LUMA_SYMBOLS)
+        + dht(1, 0, AC_LUMA_COUNTS, AC_LUMA_SYMBOLS)
+        + s1 + s2 + s3 + s4
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(data)
+    assert out.shape == (8, 8)
+
+    # expected: IDCT of the exact coefficient block
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[3], zz[10] = 6, 5, -3, 1
+    blk = np.zeros(64)
+    blk[ZIGZAG] = zz
+    expect = np.clip(np.round(_T.T @ blk.reshape(8, 8) @ _T + 128.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)
