@@ -1,6 +1,7 @@
 """Pure-numpy PNG codec: stdlib ``zlib`` inflate + spec §9 row
-unfiltering (None/Sub/Up/Average/Paeth), 8-bit gray / RGB / palette /
-gray+alpha / RGBA, non-interlaced.
+unfiltering (None/Sub/Up/Average/Paeth), 8- and 16-bit gray / RGB /
+palette / gray+alpha / RGBA, non-interlaced and Adam7-interlaced
+(16-bit samples keep the high byte — the cv2/PIL 8-bit convention).
 
 Two consumers share this module:
 
@@ -36,6 +37,12 @@ class PngError(Exception):
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def unfilter_scanlines(data: bytes, row_bytes: int, bpp: int) -> bytes:
@@ -111,12 +118,14 @@ def decode_png(data: bytes) -> np.ndarray:
     width, height, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if depth != 8:
-        raise PngError(f"bit depth {depth} unsupported (8-bit only)")
+    if depth not in (8, 16):
+        raise PngError(f"bit depth {depth} unsupported (8/16 only)")
+    if depth == 16 and color_type == 3:
+        raise PngError("16-bit palette images are not legal PNG")
     if comp != 0 or filt != 0:
         raise PngError("nonzero compression/filter method")
-    if interlace != 0:
-        raise PngError("Adam7 interlace unsupported")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
     channels = _CHANNELS.get(color_type)
     if channels is None:
         raise PngError(f"color type {color_type} unsupported")
@@ -126,9 +135,29 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise PngError(f"bad IDAT zlib stream: {e}") from e
-    row_bytes = width * channels
-    pix = np.frombuffer(unfilter_scanlines(raw, row_bytes, channels), dtype=np.uint8)
-    arr = pix.reshape(height, width, channels)
+    bps = depth // 8
+    bpp = channels * bps
+    dtype = np.uint8 if depth == 8 else np.dtype(">u2")
+    if interlace == 0:
+        pix = np.frombuffer(unfilter_scanlines(raw, width * bpp, bpp), dtype=dtype)
+        arr = pix.reshape(height, width, channels)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        arr = np.zeros((height, width, channels), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = 1 + pw * bpp
+            chunk = raw[pos : pos + ph * stride]
+            pos += ph * stride
+            sub = np.frombuffer(unfilter_scanlines(chunk, pw * bpp, bpp), dtype=dtype)
+            arr[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if depth == 16:  # cv2/PIL 8-bit convention: keep the high byte
+        arr = (arr.astype(np.uint16) >> 8).astype(np.uint8)
+    else:
+        arr = arr.astype(np.uint8)
     if color_type == 3:  # palette → RGB rows
         if plte is None or len(plte) % 3:
             raise PngError("palette image without a valid PLTE")
@@ -177,12 +206,22 @@ def _filter_row(row: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> np.n
     return out.astype(np.uint8)
 
 
-def encode_png(arr: np.ndarray, filter_types: int | list[int] = 0) -> bytes:
-    """Fixture writer: uint8 array (2-D gray, H×W×3 BGR, H×W×4 BGRA —
-    the same convention ``decode_png`` returns) → PNG bytes.
+def encode_png(
+    arr: np.ndarray, filter_types: int | list[int] = 0, interlace: bool = False
+) -> bytes:
+    """Fixture writer: array (2-D gray, H×W×3 BGR, H×W×4 BGRA — the
+    same convention ``decode_png`` returns) → PNG bytes.  uint8 input
+    writes 8-bit samples; uint16 writes 16-bit (big-endian).
     ``filter_types`` selects the per-row filter (int for all rows, or
-    one per row) so tests can exercise each unfilter branch."""
-    a = np.asarray(arr, dtype=np.uint8)
+    one per row when non-interlaced) so tests can exercise each
+    unfilter branch; ``interlace=True`` writes Adam7 passes, each
+    filtered independently."""
+    a = np.asarray(arr)
+    if a.dtype == np.uint16:
+        depth = 16
+    else:
+        a = a.astype(np.uint8)
+        depth = 8
     if a.ndim == 2:
         color_type, channels = 0, 1
         rgb = a[:, :, None]
@@ -195,18 +234,42 @@ def encode_png(arr: np.ndarray, filter_types: int | list[int] = 0) -> bytes:
     else:
         raise PngError(f"unsupported array shape {a.shape}")
     height, width = a.shape[0], a.shape[1]
-    if isinstance(filter_types, int):
-        filter_types = [filter_types] * height
-    if len(filter_types) != height:
-        raise PngError("one filter type per row required")
-    rows = rgb.reshape(height, width * channels)
+    bps = depth // 8
+    bpp = channels * bps
+
+    def sample_bytes(sub: np.ndarray) -> np.ndarray:
+        """rows of raw filter input: (h, w*channels*bps) uint8."""
+        if depth == 8:
+            return sub.reshape(sub.shape[0], -1)
+        be = sub.astype(">u2")
+        return np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(sub.shape[0], -1)
+
     body = bytearray()
-    prev = np.zeros(width * channels, dtype=np.uint8)
-    for r in range(height):
-        ftype = int(filter_types[r])
-        body.append(ftype)
-        body += _filter_row(rows[r], prev, ftype, channels).tobytes()
-        prev = rows[r]
+    if interlace:
+        if not isinstance(filter_types, int):
+            raise PngError("interlaced encode takes a single filter type")
+        for x0, y0, dx, dy in _ADAM7:
+            sub = rgb[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = sample_bytes(sub)
+            prev = np.zeros(rows.shape[1], dtype=np.uint8)
+            for r in range(rows.shape[0]):
+                body.append(filter_types)
+                body += _filter_row(rows[r], prev, filter_types, bpp).tobytes()
+                prev = rows[r]
+    else:
+        if isinstance(filter_types, int):
+            filter_types = [filter_types] * height
+        if len(filter_types) != height:
+            raise PngError("one filter type per row required")
+        rows = sample_bytes(rgb)
+        prev = np.zeros(width * bpp, dtype=np.uint8)
+        for r in range(height):
+            ftype = int(filter_types[r])
+            body.append(ftype)
+            body += _filter_row(rows[r], prev, ftype, bpp).tobytes()
+            prev = rows[r]
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -216,7 +279,9 @@ def encode_png(arr: np.ndarray, filter_types: int | list[int] = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + chunk(b"IHDR", ihdr)

@@ -113,10 +113,18 @@ def test_malformed_raises_pngerror(mutate):
         decode_png(mutate(encode_png(arr)))
 
 
-def test_bit_depth_16_rejected():
+def test_sub_byte_depths_rejected():
     rows = b"\x00" + b"\x00" * 8
-    with pytest.raises(PngError, match="bit depth"):
-        decode_png(_png(4, 1, 16, 0, rows))
+    for depth in (1, 2, 4):
+        with pytest.raises(PngError, match="bit depth"):
+            decode_png(_png(4, 1, depth, 0, rows))
+
+
+def test_16bit_gray_via_raw_stream():
+    # 4x1 16-bit gray: samples big-endian; high byte survives
+    samples = struct.pack(">4H", 0x0102, 0xFF00, 0x8040, 0x0001)
+    out = decode_png(_png(4, 1, 16, 0, b"\x00" + samples))
+    np.testing.assert_array_equal(out, np.array([[1, 255, 128, 0]], dtype=np.uint8))
 
 
 def test_unfilter_scanlines_direct_up_predictor():
@@ -131,3 +139,37 @@ def test_unfilter_scanlines_direct_up_predictor():
 def test_unfilter_rejects_bad_stride():
     with pytest.raises(PngError):
         unfilter_scanlines(b"\x00\x01\x02", row_bytes=4, bpp=1)
+
+
+@pytest.mark.parametrize("shape", [(13, 17), (9, 11, 3), (6, 8, 4), (1, 1), (8, 8), (16, 16, 3)])
+@pytest.mark.parametrize("ftype", [0, 2, 4])
+def test_adam7_interlace_roundtrip(shape, ftype):
+    rng = np.random.default_rng(hash((shape, ftype, "i")) % 2**32)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    data = encode_png(arr, filter_types=ftype, interlace=True)
+    # IHDR interlace flag set
+    assert data[8 + 8 + 12] == 1
+    out = decode_png(data)
+    assert out.shape == arr.shape
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_16bit_keeps_high_byte():
+    rng = np.random.default_rng(44)
+    hi = rng.integers(0, 256, (7, 9), dtype=np.uint16)
+    arr16 = (hi << 8) | rng.integers(0, 256, (7, 9), dtype=np.uint16)
+    out = decode_png(encode_png(arr16))
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, hi.astype(np.uint8))
+    # 16-bit RGB, interlaced, Paeth
+    rgb16 = rng.integers(0, 65536, (10, 6, 3), dtype=np.uint16)
+    out = decode_png(encode_png(rgb16, filter_types=4, interlace=True))
+    np.testing.assert_array_equal(out, (rgb16 >> 8).astype(np.uint8))
+
+
+def test_16bit_palette_rejected():
+    import struct as _s
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="16-bit palette"):
+        decode_png(png)
