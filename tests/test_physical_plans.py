@@ -117,3 +117,33 @@ def test_ivf_probe_prunes_before_rerank(session):
     assert "Filter" in plan
     # the filter node must appear deeper in the tree than the top-k node
     assert plan.index("TakeOrderedAndProject") < plan.index("Filter")
+
+
+def test_lsh_band_join_is_single_join(session):
+    """All bands ride ONE posexplode frame and ONE (band, band_sig)
+    self-join — k per-band joins would shuffle the signature table k
+    times for the same row volume (round-3 refactor)."""
+    from ocr_api_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures_arr
+
+    docs = session.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures_arr(docs, "text", n=3, k=8)
+    import re
+
+    plan = explain_str(lsh_candidate_pairs(sigs, [(0, 1), (2, 3), (4, 5), (6, 7)]))
+    # formatted explain lists each operator once in the numbered details
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, plan
+    assert "Union" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2  # one posexplode per join side
+
+
+def test_near_dup_auto_single_band_has_one_join(session):
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    emb = session.read.parquet(f"{SF}/embeddings.parquet")
+    import re
+
+    plan = explain_str(near_dup_pairs(emb, 0.35, bits=8))
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan  # JVM only
