@@ -1078,6 +1078,101 @@ def _emb_ivf_lists(spark, sf_dir):
     )
 
 
+def _kmeans_replica(ids, vectors, k=4, iters=3):
+    """Driver-side replica of operators/ivf.kmeans_lloyd: Python
+    ``decimal`` sums reproduce Spark's DECIMAL(28,12) cast (repr-based
+    shortest double string, HALF_UP at 12 fractional digits — the same
+    rule Java's BigDecimal.valueOf applies), so centroids and therefore
+    assignments match the distributed run bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12 = Decimal("1e-12")
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    dims = len(vectors[0])
+    cents = [[round(float(v), 6) + 0.0 for v in vectors[i]] for i in order[:k]]
+
+    def assign(vec):
+        best = None
+        for j, c in enumerate(cents):
+            s = 0.0
+            for a, b in zip(vec, c):
+                d = float(a) - b
+                s = s + d * d  # sequential fold, matching F.aggregate
+            if best is None or (s, j) < best:
+                best = (s, j)
+        return best[1]
+
+    for _ in range(iters):
+        counts = [0] * k
+        sums = [[Decimal(0)] * dims for _ in range(k)]
+        for i in range(len(ids)):
+            lbl = assign(vectors[i])
+            counts[lbl] += 1
+            row = sums[lbl]
+            for d in range(dims):
+                row[d] += Decimal(repr(float(vectors[i][d]))).quantize(
+                    q12, rounding=ROUND_HALF_UP
+                )
+        cents = [
+            [round(float(sums[j][d]) / counts[j], 6) + 0.0 for d in range(dims)]
+            if counts[j]
+            else list(cents[j])
+            for j in range(k)
+        ]
+    return [assign(vectors[i]) for i in range(len(ids))], cents
+
+
+def _write_expected_kmeans(sf_dir: str) -> None:
+    import os
+
+    if ("kmeans", sf_dir) in _EXPECTED_DONE:
+        return
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(_EXPECTED_DIR, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding", "label"]
+    ).to_pandas()
+    ids = [int(v) for v in t["vec_id"]]
+    vectors = [list(v) for v in t["embedding"]]
+    labels, _cents = _kmeans_replica(ids, vectors, k=4, iters=3)
+    key = int(len(ids)) * 10000 + int(t["label"].sum())
+    pd.DataFrame(
+        {"vec_id": pd.Series(ids, dtype="int64"), "ivf_list": pd.Series(labels, dtype="int32"),
+         "corpus_key": key}
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"kmeans_expected_{_sf_tag(sf_dir)}.parquet"), index=False
+    )
+    _EXPECTED_DONE.add(("kmeans", sf_dir))
+
+
+def _emb_ivf_kmeans(spark, sf_dir):
+    """ITERATIVE algorithm in the exact gate: 3 Lloyd's iterations of
+    distributed k-means (k=4) with engine-deterministic numerics
+    (decimal-exact means, rounded centroid literals, sequential-fold
+    distances) — assignment per vector must equal the driver-side
+    decimal replica bit-for-bit."""
+    from ocr_api_spark.operators.ivf import kmeans_lloyd
+
+    _write_expected_kmeans(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_lloyd(emb, k=4, iters=3)
+    return assigned.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("ivf_list").cast("int").alias("ivf_list"),
+    )
+
+
+def _emb_kmeans_sql() -> str:
+    # built lazily: _EXPECTED_DIR is defined further down the module
+    return f"""
+SELECT vec_id::BIGINT AS vec_id, ivf_list::INT AS ivf_list
+FROM read_parquet('{_EXPECTED_DIR}/kmeans_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = (SELECT count(*) * 10000 + sum(label) FROM embeddings)
+"""
+
+
 def _emb_ivf_topk(spark, sf_dir):
     """IVF search: exact cosine top-10 restricted to the 2 inverted lists
     nearest the query (n_probe=2)."""
@@ -1563,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sign_buckets": _emb_sign_buckets,
         "emb_ivf_lists": _emb_ivf_lists,
         "emb_ivf_topk": _emb_ivf_topk,
+        "emb_ivf_kmeans": _emb_ivf_kmeans,
         "emb_label_centroid": _emb_label_centroid_norm,
         "extract_pan_over_documents": _extract_pan_over_documents,
         "extract_all_branches": _extract_all_branches,
@@ -1627,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_sign_buckets": _EMB_BUCKETS_SQL,
         "emb_ivf_lists": _emb_ivf_lists_sql(),
         "emb_ivf_topk": _emb_ivf_topk_sql(),
+        "emb_ivf_kmeans": _emb_kmeans_sql(),
         "emb_label_centroid": _EMB_CENTROID_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,

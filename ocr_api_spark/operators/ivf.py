@@ -46,6 +46,56 @@ def ivf_assign(
     return df.withColumn("ivf_list", F.array_min(dists)["j"])
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means, ENGINE-DETERMINISTIC by
+    construction — the iterative-algorithm entry in the driver's exact
+    correctness gate (most iterative ML is check-by-tolerance; this one
+    is check-by-hash):
+
+    - init: the k lowest-``id_col`` vectors (no RNG);
+    - assignment: ``ivf_assign``'s sequential-fold squared L2 with
+      (dist, index) tie-break — bit-reproducible on any engine that
+      evaluates doubles left-to-right;
+    - update: per-dim means via exact DECIMAL(28,12) sums (addition is
+      exact, hence partition-order-independent), double division, then
+      round-to-6dp ``+ 0.0`` (the signed-zero normalizer) — so the new
+      centroid literals are identical across engines and partitionings;
+    - empty clusters keep their previous centroid.
+
+    Returns (assigned df, final centroids).  Driver-side replica:
+    ``__spark_entry__._kmeans_replica`` computes the same fixpoint with
+    Python ``decimal`` (repr-based double→decimal cast matches Spark's
+    HALF_UP at 12 fractional digits)."""
+    first = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} vectors")
+    dims = len(first[0][0])
+    centroids = [[round(float(v), 6) + 0.0 for v in r[0]] for r in first]
+    sum_aggs = [
+        F.sum(F.element_at(vec_col, d + 1).cast("double").cast("decimal(28,12)")).alias(f"s{d}")
+        for d in range(dims)
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        rows = assigned.groupBy("ivf_list").agg(
+            F.count(F.lit(1)).alias("n"), *sum_aggs
+        ).collect()
+        new = [list(c) for c in centroids]
+        for r in rows:
+            n = int(r["n"])
+            new[int(r["ivf_list"])] = [
+                round(float(r[f"s{d}"]) / n, 6) + 0.0 for d in range(dims)
+            ]
+        centroids = new
+    return ivf_assign(df, centroids, vec_col), centroids
+
+
 def build_ivf(df: DataFrame, k: int = 16, vec_col: str = "embedding", seed: int = 42):
     """Returns (assigned_df, centroids) where assigned_df carries an
     ``ivf_list`` column and centroids is a list of k dense vectors."""

@@ -316,3 +316,20 @@ def test_minhash_projection_plan_no_preband_shuffle(session):
     df = minhash_signatures_arr(docs, "text", 3, k=4)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan  # pure projection until the band join
+
+
+def test_kmeans_lloyd_partition_invariant(session):
+    """The decimal-exact centroid update makes the iterative k-means
+    bit-identical regardless of how the input is partitioned — the
+    property that lets an iterative algorithm live in the exact
+    correctness gate."""
+    from ocr_api_spark.operators.ivf import kmeans_lloyd
+
+    emb = session.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a_df, a_cents = kmeans_lloyd(emb.repartition(1), k=3, iters=2)
+    b_df, b_cents = kmeans_lloyd(emb.repartition(13), k=3, iters=2)
+    assert repr(a_cents) == repr(b_cents)
+    a = {r["vec_id"]: r["ivf_list"] for r in a_df.collect()}
+    b = {r["vec_id"]: r["ivf_list"] for r in b_df.collect()}
+    assert a == b
+    assert len(set(a.values())) > 1  # actually clusters
