@@ -12,12 +12,15 @@ This module implements those two surfaces over PDF 1.4 content
 streams: BT/ET text objects, Tf sizing, Td/TD/Tm/T*/TL positioning,
 Tj/TJ/' show ops, literal and hex strings.  Streams may be stored
 raw, ``/FlateDecode`` (stdlib zlib, including PNG predictors via the
-shared unfilter in kernels/png.py), or ``/ASCIIHexDecode`` — which
-covers virtually every real-world *text* content stream; only
-LZW/DCT/JBIG2-style entropy codecs remain out of scope and raise
-``MiniPdfError``.  Stream bodies are sliced by ``/Length`` (direct or
-indirect) rather than regex-scanned, so compressed bytes that happen
-to contain ``endstream``/``endobj`` cannot truncate the parse.
+shared unfilter in kernels/png.py), ``/LZWDecode`` (full 9-12-bit
+early-change variant), or ``/ASCIIHexDecode`` — every real-world
+*text* content stream; DCT/JBIG2/JPX raster filters are image data,
+not text, and raise ``MiniPdfError``.  PDF 1.5 ``/ObjStm`` object
+streams expand (modern writers pack page/catalog dicts there), and
+generation numbers are accepted everywhere.  Stream bodies are sliced
+by ``/Length`` (direct or indirect) rather than regex-scanned, so
+compressed bytes that happen to contain ``endstream``/``endobj``
+cannot truncate the parse.
 ``write_minimal_pdf`` emits the same subset (optionally
 Flate-compressed), so fixtures round-trip bit-deterministically.
 
@@ -75,6 +78,11 @@ def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
         c = data[i : i + 1]
         if c == b"\\":
             nxt = data[i + 1 : i + 2]
+            if nxt in (b"\n", b"\r"):  # line continuation: swallow the EOL
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+                continue
             if nxt and nxt in b"01234567":  # octal escape, up to 3 OCTAL digits
                 # (bytes.isdigit would admit 8/9 and blow up int(_, 8))
                 j = i + 1
@@ -235,13 +243,15 @@ class PdfPage:
         return "\n".join(out)
 
 
-_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj")
+# generation numbers accepted on every reference/def: incremental-
+# update writers emit gen > 0 and our scanner keeps the LAST definition
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
 _STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
 _ENDSTREAM_RE = re.compile(rb"endstream")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s*\]")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
-_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
-_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
@@ -251,8 +261,8 @@ _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
-_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
-_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
 def _length_of(header: bytes, data: bytes) -> int | None:
@@ -265,7 +275,7 @@ def _length_of(header: bytes, data: bytes) -> int | None:
     rm = _LENGTH_REF_RE.search(header)
     if rm:
         lm = re.search(
-            rb"(?<![\d])" + rm.group(1) + rb"\s+0\s+obj\s*(\d+)\s*endobj", data
+            rb"(?<![\d])" + rm.group(1) + rb"\s+\d+\s+obj\s*(\d+)\s*endobj", data
         )
         if lm:
             return int(lm.group(1))

@@ -458,3 +458,31 @@ def test_object_stream_pages():
         b"%%EOF\n"
     )
     assert pdf_text(pdf) == "from an objstm\n"
+
+
+def test_nonzero_generation_numbers():
+    """Incremental-update writers emit gen > 0 on objects and refs."""
+    content = b"BT /F1 12 Tf 72 700 Td (gen two) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 2 obj\n<< /Type /Catalog /Pages 2 1 R >>\nendobj\n"
+        b"2 1 obj\n<< /Type /Pages /Kids [3 5 R] /Count 1 >>\nendobj\n"
+        b"3 5 obj\n<< /Type /Page /Parent 2 1 R /Contents 4 3 R >>\nendobj\n"
+        b"4 3 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "gen two"
+
+
+def test_literal_string_line_continuation():
+    content = b"BT /F1 12 Tf 72 700 Td (split\\\nacross lines) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "splitacross lines"
