@@ -1078,6 +1078,123 @@ def _emb_ivf_lists(spark, sf_dir):
     )
 
 
+def _image_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic image payload for a document: pixels are the md5
+    keystream of (doc_id, text), format cycles through the REAL codecs
+    — baseline/progressive JPEG (gray), interlaced PNG (BGR, rotating
+    row filter), straight PNG (BGRA) — so the driver gate exercises
+    Huffman/DCT and inflate/unfilter paths, not just .npy plumbing."""
+    import hashlib
+
+    from ocr_api_spark.kernels.jpeg import encode_jpeg
+    from ocr_api_spark.kernels.png import encode_png
+
+    seed = f"{doc_id}:{text or ''}".encode()
+    stream = b""
+    block = seed
+    while len(stream) < 24 * 32 * 4:
+        block = hashlib.md5(block).digest()
+        stream += block
+    import numpy as np
+
+    pix = np.frombuffer(stream[: 24 * 32 * 4], dtype=np.uint8)
+    kind = doc_id % 3
+    if kind == 0:  # JPEG gray; odd ids take the progressive scan script
+        return encode_jpeg(
+            pix[: 24 * 32].reshape(24, 32), quality=85, progressive=bool(doc_id % 2)
+        )
+    if kind == 1:  # PNG BGR, Adam7, rotating row filter
+        return encode_png(
+            pix[: 24 * 32 * 3].reshape(24, 32, 3),
+            filter_types=doc_id % 5,
+            interlace=True,
+        )
+    return encode_png(pix.reshape(24, 32, 4))  # PNG BGRA
+
+
+def _image_feature_row(doc_id: int, text: str) -> tuple:
+    from ocr_api_spark.operators.multimodal import _Decoder
+
+    payload = _image_payload(doc_id, text)
+    feature, status = _Decoder.get().decode(payload)
+    return status, [float(v) for v in feature]
+
+
+def _write_expected_img_features(sf_dir: str) -> None:
+    import os
+
+    if ("img_features", sf_dir) in _EXPECTED_DONE:
+        return
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(_EXPECTED_DIR, exist_ok=True)
+    docs = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    key = _corpus_key(docs["text"])
+    docs = docs[docs["doc_id"] < 40]
+    rows = [_image_feature_row(int(d), t) for d, t in zip(docs["doc_id"], docs["text"])]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "decode_status": [r[0] for r in rows],
+            "feature": [r[1] for r in rows],
+            "corpus_key": key,
+        }
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"img_features_expected_{_sf_tag(sf_dir)}.parquet"),
+        index=False,
+    )
+    _EXPECTED_DONE.add(("img_features", sf_dir))
+
+
+def _img_decode_features(spark, sf_dir):
+    """The image-codec branch in the exact gate: per-document
+    deterministic JPEG/PNG payloads (baseline + progressive, Adam7 +
+    every row filter) decoded by the pure-numpy codecs inside the
+    distributed UDF; statistics must equal the driver-side run of the
+    same code bit-for-bit."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+
+    _write_expected_img_features(sf_dir)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    schema = StructType(
+        [
+            StructField("decode_status", StringType()),
+            StructField("feature", ArrayType(DoubleType())),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def feats(doc_ids, texts):
+        import pandas as pd
+
+        rows = [_image_feature_row(int(d), t) for d, t in zip(doc_ids, texts)]
+        return pd.DataFrame(
+            {"decode_status": [r[0] for r in rows], "feature": [r[1] for r in rows]}
+        )
+
+    out = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        feats("doc_id", "text").alias("__f"),
+    )
+    return out.select("doc_id", "__f.decode_status", "__f.feature")
+
+
+def _img_features_sql() -> str:
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, decode_status, feature
+FROM read_parquet('{_EXPECTED_DIR}/img_features_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = {_CORPUS_KEY_SQL}
+"""
+
+
 def _kmeans_replica(ids, vectors, k=4, iters=3):
     """Driver-side replica of operators/ivf.kmeans_lloyd: Python
     ``decimal`` sums reproduce Spark's DECIMAL(28,12) cast (repr-based
@@ -1659,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_lists": _emb_ivf_lists,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_kmeans": _emb_ivf_kmeans,
+        "img_decode_features": _img_decode_features,
         "emb_label_centroid": _emb_label_centroid_norm,
         "extract_pan_over_documents": _extract_pan_over_documents,
         "extract_all_branches": _extract_all_branches,
@@ -1724,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_lists": _emb_ivf_lists_sql(),
         "emb_ivf_topk": _emb_ivf_topk_sql(),
         "emb_ivf_kmeans": _emb_kmeans_sql(),
+        "img_decode_features": _img_features_sql(),
         "emb_label_centroid": _EMB_CENTROID_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,
