@@ -1805,6 +1805,8 @@ def oracle_sql() -> dict[str, str]:
             _write_expected_extractions(default_sf)
             _write_expected_pdf_roundtrip(default_sf)
             _write_expected_html_roundtrip(default_sf)
+            _write_expected_kmeans(default_sf)
+            _write_expected_img_features(default_sf)
         except Exception:
             pass  # queries() regenerates for its own sf_dir anyway
     return {
