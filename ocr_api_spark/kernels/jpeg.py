@@ -245,12 +245,28 @@ def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segments, i
 
 
+_MAX_PIXELS = 64_000_000  # corrupted SOF dims must not OOM the executor
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → uint8 array: 2-D grayscale or H×W×3 BGR.  Handles
     baseline sequential (SOF0/SOF1) and **progressive** (SOF2: spectral
     selection + successive approximation, the common web-JPEG form) by
     accumulating every scan into per-component coefficient planes and
-    reconstructing once at EOI."""
+    reconstructing once at EOI.
+
+    Every parse-time failure on untrusted bytes surfaces as
+    ``JpegError`` — a corrupted payload must be a decode *failure*, not
+    a poison pill that kills the Spark task (fuzz-tested)."""
+    try:
+        return _decode_jpeg(data)
+    except JpegError:
+        raise
+    except (IndexError, KeyError, ValueError, OverflowError, struct.error) as e:
+        raise JpegError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG payload (no SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -307,6 +323,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             height, width = struct.unpack(">HH", seg[1:5])
             if height == 0 or width == 0:
                 raise JpegError("zero-dimension frame")
+            if height * width > _MAX_PIXELS:
+                raise JpegError(f"frame {width}x{height} exceeds the pixel cap")
             ncomp = seg[5]
             comps = []
             for ci in range(ncomp):

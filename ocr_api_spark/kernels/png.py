@@ -88,10 +88,26 @@ def unfilter_scanlines(data: bytes, row_bytes: int, bpp: int) -> bytes:
     return out.tobytes()
 
 
+_MAX_PIXELS = 64_000_000  # corrupted IHDR dims must not OOM the executor
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array in cv2 convention: 2-D grayscale,
     H×W×3 BGR, or H×W×4 BGRA (gray+alpha expands to BGRA so the
-    alpha-flatten step downstream sees one shape per alpha image)."""
+    alpha-flatten step downstream sees one shape per alpha image).
+
+    Every parse-time failure on untrusted bytes surfaces as
+    ``PngError`` — a corrupted payload must be a decode *failure*, not
+    a poison pill that kills the Spark task (fuzz-tested)."""
+    try:
+        return _decode_png(data)
+    except PngError:
+        raise
+    except (IndexError, KeyError, ValueError, OverflowError, struct.error) as e:
+        raise PngError(f"malformed PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(_SIGNATURE):
         raise PngError("not a PNG payload")
     pos = len(_SIGNATURE)
@@ -131,6 +147,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise PngError(f"color type {color_type} unsupported")
     if width == 0 or height == 0:
         raise PngError("zero-dimension image")
+    if width * height > _MAX_PIXELS:
+        raise PngError(f"image {width}x{height} exceeds the pixel cap")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:

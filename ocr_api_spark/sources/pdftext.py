@@ -544,7 +544,19 @@ def _page_order(objects: dict[int, tuple[bytes, bytes | None]], page_nums: list[
 
 
 def parse_pdf(data: bytes) -> list[PdfPage]:
-    """All pages, in /Kids document order (object-number fallback)."""
+    """All pages, in /Kids document order (object-number fallback).
+    Every parse-time failure on untrusted bytes surfaces as
+    ``MiniPdfError`` — callers route that to the OCR fallback instead
+    of failing the Spark task (fuzz-tested)."""
+    try:
+        return _parse_pdf(data)
+    except MiniPdfError:
+        raise
+    except (IndexError, KeyError, ValueError, OverflowError) as e:
+        raise MiniPdfError(f"malformed PDF: {type(e).__name__}: {e}") from e
+
+
+def _parse_pdf(data: bytes) -> list[PdfPage]:
     if not data.startswith(b"%PDF"):
         raise MiniPdfError("not a PDF payload")
     objects = _scan_objects(data)
