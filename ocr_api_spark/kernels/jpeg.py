@@ -398,9 +398,17 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             raise JpegError("scan references undefined AC table")
         return t
 
+    def bound_pred(cid):
+        # a valid DC value fits comfortably in 2^20 (8-bit samples,
+        # quantized); a runaway accumulator means corrupt entropy data
+        # and would overflow the int32 coefficient plane
+        if not -(1 << 24) < pred[cid] < (1 << 24):
+            raise JpegError("DC predictor out of range (corrupt stream)")
+
     def baseline_block(blk, cid, dc_t, ac_t):
         s = reader.decode_symbol(dc_t)
         pred[cid] += _extend(reader.read_bits(s), s) if s else 0
+        bound_pred(cid)
         blk[0] = pred[cid]
         k = 1
         while k < 64:
@@ -421,6 +429,7 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         if ah == 0:  # first pass
             s = reader.decode_symbol(dc_t)
             pred[cid] += _extend(reader.read_bits(s), s) if s else 0
+            bound_pred(cid)
             blk[0] = pred[cid] << al
         else:  # refinement: one correction bit
             if reader.read_bit():
@@ -501,20 +510,37 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         eobrun[0] = 0
 
     if not progressive:
-        units = mcus_x * mcus_y
-        for mcu in range(units):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.next_segment()
-                reset_state()
-            my, mx = divmod(mcu, mcus_x)
-            for cid, dct, act in scan_comps:
-                _, h, v, _q = by_id[cid]
-                for bv in range(v):
-                    for bh in range(h):
-                        baseline_block(
-                            coeffs[cid][my * v + bv, mx * h + bh], cid,
-                            dc_table(dct), ac_table(act),
-                        )
+        if interleaved:
+            units = mcus_x * mcus_y
+            for mcu in range(units):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.next_segment()
+                    reset_state()
+                my, mx = divmod(mcu, mcus_x)
+                for cid, dct, act in scan_comps:
+                    _, h, v, _q = by_id[cid]
+                    for bv in range(v):
+                        for bh in range(h):
+                            baseline_block(
+                                coeffs[cid][my * v + bv, mx * h + bh], cid,
+                                dc_table(dct), ac_table(act),
+                            )
+        else:
+            # a legal sequential scan over ONE component of a multi-
+            # component frame walks the component's own block grid in
+            # raster order (one block per MCU), not the frame MCU grid
+            cid, dct, act = scan_comps[0]
+            _, h, v, _q = by_id[cid]
+            bw = -(-(-(-width * h // hmax)) // 8)
+            bh_n = -(-(-(-height * v // vmax)) // 8)
+            unit = 0
+            for by in range(bh_n):
+                for bx in range(bw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        reader.next_segment()
+                        reset_state()
+                    baseline_block(coeffs[cid][by, bx], cid, dc_table(dct), ac_table(act))
+                    unit += 1
         return
 
     if is_dc_scan:

@@ -84,6 +84,15 @@ def tesseract_tsv_tokens(tsv: str) -> list[tuple[str, float, list[list[int]]]]:
 # --- live-subprocess seam (S7/S8/S10) ---------------------------------------
 
 
+def _default_run(argv: list[str], inp: bytes) -> bytes:
+    import subprocess
+
+    return subprocess.run(
+        argv, input=inp, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        timeout=60, check=True,
+    ).stdout
+
+
 def tesseract_available(binary: str = "tesseract") -> bool:
     import shutil
 
@@ -104,16 +113,7 @@ def tesseract_image_to_data(image, binary: str = "tesseract", run=None) -> str:
 
     png = encode_png(image)
     argv = [binary, "stdin", "stdout", "tsv"]
-    if run is None:
-        import subprocess
-
-        def run(a, inp):
-            return subprocess.run(
-                a, input=inp, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                timeout=60, check=True,
-            ).stdout
-
-    return run(argv, png).decode("utf-8", errors="replace")
+    return (run or _default_run)(argv, png).decode("utf-8", errors="replace")
 
 
 def tesseract_osd_output(image, binary: str = "tesseract", run=None) -> str:
@@ -123,13 +123,4 @@ def tesseract_osd_output(image, binary: str = "tesseract", run=None) -> str:
 
     png = encode_png(image)
     argv = [binary, "stdin", "stdout", "--psm", "0"]
-    if run is None:
-        import subprocess
-
-        def run(a, inp):
-            return subprocess.run(
-                a, input=inp, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                timeout=60, check=True,
-            ).stdout
-
-    return run(argv, png).decode("utf-8", errors="replace")
+    return (run or _default_run)(argv, png).decode("utf-8", errors="replace")

@@ -99,6 +99,10 @@ def near_dup_pairs(
         ).first()
         bits = auto_sign_bits(int(n_rows or 0), int(dims or 0) // max(n_bands, 1),
                               target_bucket_rows)
+        # empty input (or zero-dim vectors) resolves to 0 bits; one
+        # vacuous bucket bit keeps the plan buildable and the result
+        # correctly empty instead of crashing at plan time
+        bits = max(bits, 1)
     # per-row norm computed ONCE before the self-join: the pairwise
     # stage is quadratic in bucket size, so only the dot product should
     # pay O(d) there

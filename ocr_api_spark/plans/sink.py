@@ -113,7 +113,9 @@ def verify_sink(out_dir: str) -> dict:
     }
 
 
-def compact_bucket(spark, out_dir: str, bucket: int, target_mb: int = 128) -> dict:
+def compact_bucket(
+    spark, out_dir: str, bucket: int, target_mb: int = 128, lock_ttl_sec: float = 3600.0
+) -> dict:
     """Rewrite one bucket's files into ~target_mb outputs and record a
     replacement snapshot.  Scoped to a single bucket so a 10^12-row
     table compacts incrementally (one bucket = one unit of work, same
@@ -137,7 +139,22 @@ def compact_bucket(spark, out_dir: str, bucket: int, target_mb: int = 128) -> di
     try:
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        return {"bucket": bucket, "compacted": False, "reason": "locked"}
+        # a hard-killed compactor leaves its lock behind; break stale
+        # locks by age so one crash can't disable compaction forever
+        try:
+            stale = time.time() - os.path.getmtime(lock_path) > lock_ttl_sec
+        except FileNotFoundError:
+            stale = True  # holder just released it: treat as contended
+        if not stale:
+            return {"bucket": bucket, "compacted": False, "reason": "locked"}
+        try:
+            os.remove(lock_path)
+        except FileNotFoundError:
+            pass
+        try:
+            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:  # lost the race to another lock-breaker
+            return {"bucket": bucket, "compacted": False, "reason": "locked"}
     try:
         os.write(lock_fd, f"{os.getpid()} {time.time()}".encode())
         os.close(lock_fd)
@@ -193,12 +210,14 @@ def compact_bucket(spark, out_dir: str, bucket: int, target_mb: int = 128) -> di
             pass
 
 
-def gc_orphans(out_dir: str, min_age_sec: float = 0.0) -> list[str]:
+def gc_orphans(out_dir: str, min_age_sec: float = 3600.0) -> list[str]:
     """Repair path for every crash window: delete data files present on
     disk but in no live snapshot (zombie writers, compactions that
     published before finishing their delete).  ``min_age_sec`` guards
     in-flight writers — a file younger than the threshold may simply
-    not be committed YET."""
+    not be committed YET, so the default (1 h) only reclaims files no
+    live run can still be about to publish; pass 0 only when no writer
+    can be running."""
     base = os.path.join(out_dir, "extracted")
     now = time.time()
     removed = []

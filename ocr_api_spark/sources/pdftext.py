@@ -45,6 +45,9 @@ class MiniPdfError(Exception):
 
 
 CHAR_WIDTH_FACTOR = 0.5  # fixed-advance width approximation per glyph
+# LZW code space tops out at 12 bits; module-level so the table-full /
+# clear-code boundary is testable at a small cap without 7 MB inputs
+_LZW_MAX_CODE = 4095
 
 
 @dataclass
@@ -250,7 +253,10 @@ _STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
 _ENDSTREAM_RE = re.compile(rb"endstream")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s*\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
-_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the number's end: without it, '/Length 10 0 R' backtracks
+# to group '1', sneaks past the not-a-reference lookahead, and silently
+# truncates the stream to 1 byte (round-3 review finding, reproduced)
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
@@ -269,10 +275,12 @@ def _length_of(header: bytes, data: bytes) -> int | None:
     """Resolve the /Length entry of a stream dict — direct integer or an
     indirect reference looked up anywhere in the file (the referenced
     length object is a bare integer, safe to regex)."""
-    dm = _LENGTH_DIRECT_RE.search(header)
-    if dm:
-        return int(dm.group(1))
+    # indirect form checked FIRST: belt and braces with the (?!\d) pin
     rm = _LENGTH_REF_RE.search(header)
+    if not rm:
+        dm = _LENGTH_DIRECT_RE.search(header)
+        if dm:
+            return int(dm.group(1))
     if rm:
         lm = re.search(
             rb"(?<![\d])" + rm.group(1) + rb"\s+\d+\s+obj\s*(\d+)\s*endobj", data
@@ -352,9 +360,9 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                if len(table) < 4096:
+                if len(table) <= _LZW_MAX_CODE:
                     table.append(prev + entry[:1])
-            elif code == len(table) and len(table) < 4096:  # KwKwK
+            elif code == len(table) and len(table) <= _LZW_MAX_CODE:  # KwKwK
                 entry = prev + prev[:1]
                 table.append(entry)
             else:
@@ -392,7 +400,9 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
             seq = cand
             continue
         emit(table[seq])
-        if next_code + early_change <= 4096:
+        if next_code <= _LZW_MAX_CODE:
+            # next_code == _LZW_MAX_CODE+1 would be unemittable in 12
+            # bits regardless of EarlyChange (round-3 review finding)
             table[cand] = next_code
             next_code += 1
             if next_code + early_change - 1 >= (1 << width) and width < 12:

@@ -187,8 +187,10 @@ def merge_credits_batch(
     applied: dict[str, int] = {}
     meta_cols = [c for c in ("__applied_json", "__last_batch_id") if c in accounts.columns]
     if meta_cols:
-        head = accounts.select(*meta_cols).first()
-        if "__applied_json" in meta_cols and head["__applied_json"]:
+        head = accounts.select(*meta_cols).first()  # None on a 0-row snapshot
+        if head is None:
+            pass
+        elif "__applied_json" in meta_cols and head["__applied_json"]:
             applied = {k: int(v) for k, v in _json.loads(head["__applied_json"]).items()}
         elif "__last_batch_id" in meta_cols and head["__last_batch_id"] is not None:
             # legacy single-watermark snapshot: adopt as the default run

@@ -486,3 +486,37 @@ def test_literal_string_line_continuation():
         + content + b"\nendstream\nendobj\n%%EOF\n"
     )
     assert parse_pdf(pdf)[0].extract_text() == "splitacross lines"
+
+
+def test_indirect_length_multidigit_ref_not_misread():
+    """Review finding r3: '/Length 10 0 R' must resolve the reference —
+    a backtracking match would read the digit prefix '1' as a direct
+    length and silently truncate the stream to 1 byte."""
+    content = b"BT /F1 12 Tf 72 700 Td (Hello world) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 10 0 R >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"10 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert pdf_text(pdf) == "Hello world\n"
+
+
+def test_lzw_table_full_boundary_small_cap(monkeypatch):
+    """White-box: shrink the 12-bit code space so the clear-on-full
+    boundary is crossed many times; both EarlyChange settings must
+    round-trip (review finding r3: early_change=0 could assign an
+    unemittable code at the real 4096 boundary)."""
+    import random
+
+    import ocr_api_spark.sources.pdftext as P
+
+    monkeypatch.setattr(P, "_LZW_MAX_CODE", 300)
+    rng = random.Random(3)
+    for ec in (0, 1):
+        for n in (500, 2000, 8000):
+            raw = bytes(rng.randrange(256) for _ in range(n))
+            assert P.lzw_decode(P.lzw_encode(raw, ec), ec) == raw, (ec, n)

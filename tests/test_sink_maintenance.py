@@ -114,7 +114,13 @@ def test_compact_lock_serializes_and_gc_repairs(session, sink):
     assert compact_bucket(session, out, bucket) == {
         "bucket": bucket, "compacted": False, "reason": "locked",
     }
-    os.remove(lock)
+    # a STALE lock (hard-killed holder) is broken by age instead of
+    # disabling compaction for the bucket forever
+    old = os.path.getmtime(lock) - 7200
+    os.utime(lock, (old, old))
+    res_after_stale = compact_bucket(session, out, bucket, lock_ttl_sec=3600)
+    assert res_after_stale.get("reason") != "locked"
+    assert not os.path.exists(lock)  # released again on the way out
 
     # (b) crash window emulation: replaced-but-present files == orphans
     res = compact_bucket(session, out, bucket, target_mb=128)
@@ -124,8 +130,10 @@ def test_compact_lock_serializes_and_gc_repairs(session, sink):
     # plant an orphan (a crashed writer's leftover) and GC it
     zombie = os.path.join(bucket_dir, "part-crashed.parquet")
     open(zombie, "wb").write(b"z")
-    assert gc_orphans(out, min_age_sec=3600) == []  # too young: kept
-    assert [os.path.basename(p) for p in gc_orphans(out)] == ["part-crashed.parquet"]
+    assert gc_orphans(out) == []  # default age guard keeps young files
+    assert [os.path.basename(p) for p in gc_orphans(out, min_age_sec=0)] == [
+        "part-crashed.parquet"
+    ]
     assert not os.path.exists(zombie)
     v = verify_sink(out)
     assert v["orphans"] == [] and v["missing"] == []
