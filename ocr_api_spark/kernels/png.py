@@ -1,5 +1,5 @@
 """Pure-numpy PNG codec: stdlib ``zlib`` inflate + spec §9 row
-unfiltering (None/Sub/Up/Average/Paeth), 8- and 16-bit gray / RGB /
+unfiltering (None/Sub/Up/Average/Paeth), 1/2/4/8/16-bit gray, 8/16-bit RGB /
 palette / gray+alpha / RGBA, non-interlaced and Adam7-interlaced
 (16-bit samples keep the high byte — the cv2/PIL 8-bit convention).
 
@@ -134,8 +134,10 @@ def _decode_png(data: bytes) -> np.ndarray:
     width, height, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if depth not in (8, 16):
-        raise PngError(f"bit depth {depth} unsupported (8/16 only)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise PngError(f"bit depth {depth} unsupported")
+    if depth < 8 and color_type not in (0, 3):
+        raise PngError(f"sub-byte depth {depth} is only legal for gray/palette")
     if depth == 16 and color_type == 3:
         raise PngError("16-bit palette images are not legal PNG")
     if comp != 0 or filt != 0:
@@ -153,29 +155,59 @@ def _decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise PngError(f"bad IDAT zlib stream: {e}") from e
-    bps = depth // 8
-    bpp = channels * bps
-    dtype = np.uint8 if depth == 8 else np.dtype(">u2")
-    if interlace == 0:
-        pix = np.frombuffer(unfilter_scanlines(raw, width * bpp, bpp), dtype=dtype)
-        arr = pix.reshape(height, width, channels)
-    else:  # Adam7: seven independently-filtered sub-images, scattered
-        arr = np.zeros((height, width, channels), dtype=dtype)
-        pos = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
-            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
-            if pw == 0 or ph == 0:
-                continue
-            stride = 1 + pw * bpp
-            chunk = raw[pos : pos + ph * stride]
-            pos += ph * stride
-            sub = np.frombuffer(unfilter_scanlines(chunk, pw * bpp, bpp), dtype=dtype)
-            arr[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
-    if depth == 16:  # cv2/PIL 8-bit convention: keep the high byte
-        arr = (arr.astype(np.uint16) >> 8).astype(np.uint8)
+    if depth < 8:
+        # 1/2/4-bit rows (1-bit = the classic document-scan PNG): one
+        # filter byte per row, samples packed MSB-first, bpp=1 for the
+        # byte-level filters; unpack, regroup, trim the row padding
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+
+        def unpack(chunk: bytes, pw: int, ph: int) -> np.ndarray:
+            rb = (pw * depth + 7) // 8
+            rows = np.frombuffer(unfilter_scanlines(chunk, rb, 1), dtype=np.uint8)
+            bits = np.unpackbits(rows.reshape(ph, rb), axis=1)[:, : pw * depth]
+            return (bits.reshape(ph, pw, depth) * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace == 0:
+            samples = unpack(raw, width, height)
+        else:
+            samples = np.zeros((height, width), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+                ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                stride = 1 + (pw * depth + 7) // 8
+                chunk = raw[pos : pos + ph * stride]
+                pos += ph * stride
+                samples[y0::dy, x0::dx] = unpack(chunk, pw, ph)
+        if color_type == 0:  # gray: expand to full 8-bit range
+            samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        arr = samples[:, :, None]
     else:
-        arr = arr.astype(np.uint8)
+        bps = depth // 8
+        bpp = channels * bps
+        dtype = np.uint8 if depth == 8 else np.dtype(">u2")
+        if interlace == 0:
+            pix = np.frombuffer(unfilter_scanlines(raw, width * bpp, bpp), dtype=dtype)
+            arr = pix.reshape(height, width, channels)
+        else:  # Adam7: seven independently-filtered sub-images, scattered
+            arr = np.zeros((height, width, channels), dtype=dtype)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+                ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                stride = 1 + pw * bpp
+                chunk = raw[pos : pos + ph * stride]
+                pos += ph * stride
+                sub = np.frombuffer(unfilter_scanlines(chunk, pw * bpp, bpp), dtype=dtype)
+                arr[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if depth == 16:  # cv2/PIL 8-bit convention: keep the high byte
+            arr = (arr.astype(np.uint16) >> 8).astype(np.uint8)
+        else:
+            arr = arr.astype(np.uint8)
     if color_type == 3:  # palette → RGB rows
         if plte is None or len(plte) % 3:
             raise PngError("palette image without a valid PLTE")

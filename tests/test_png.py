@@ -113,11 +113,51 @@ def test_malformed_raises_pngerror(mutate):
         decode_png(mutate(encode_png(arr)))
 
 
-def test_sub_byte_depths_rejected():
+def test_1bit_gray_document_scan():
+    """1-bit gray: the classic scanned-document PNG.  10 px wide -> 2
+    packed bytes per row + filter byte; bits expand to 0/255."""
+    #      row bits: 1010101010 ; 0000011111  (MSB first, padded)
+    rows = b"\x00\xaa\x80" + b"\x00\x07\xc0"
+    out = decode_png(_png(10, 2, 1, 0, rows))
+    assert out.shape == (2, 10)
+    np.testing.assert_array_equal(out[0], [255, 0] * 5)
+    np.testing.assert_array_equal(out[1], [0] * 5 + [255] * 5)
+
+
+def test_2bit_and_4bit_gray_scaling():
+    # 2-bit: values 0..3 scale to 0/85/170/255
+    rows = b"\x00" + bytes([0b00011011])  # samples 0,1,2,3
+    np.testing.assert_array_equal(decode_png(_png(4, 1, 2, 0, rows))[0], [0, 85, 170, 255])
+    # 4-bit: 0..15 scale by 17
+    rows = b"\x00" + bytes([0x0F, 0x80])  # samples 0,15,8
+    np.testing.assert_array_equal(decode_png(_png(3, 1, 4, 0, rows))[0], [0, 255, 136])
+
+
+def test_4bit_palette():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    rows = b"\x00" + bytes([0x01, 0x20])  # indices 0,1,2 (4-bit, padded)
+    out = decode_png(_png(3, 1, 4, 3, rows, extra=_chunk(b"PLTE", pal.tobytes())))
+    assert out.shape == (1, 3, 3)
+    np.testing.assert_array_equal(out[0, 0], pal[0][::-1])  # BGR
+    np.testing.assert_array_equal(out[0, 2], pal[2][::-1])
+
+
+def test_1bit_up_filter_rows():
+    # Up filter on packed rows: second row = XOR-free byte add of deltas
+    r1 = bytes([0b10100000])
+    r2_delta = bytes([(0b11110000 - 0b10100000) & 0xFF])
+    rows = b"\x00" + r1 + b"\x02" + r2_delta
+    out = decode_png(_png(4, 2, 1, 0, rows))
+    np.testing.assert_array_equal(out[0], [255, 0, 255, 0])
+    np.testing.assert_array_equal(out[1], [255, 255, 255, 255])
+
+
+def test_sub_byte_rgb_rejected():
     rows = b"\x00" + b"\x00" * 8
-    for depth in (1, 2, 4):
-        with pytest.raises(PngError, match="bit depth"):
-            decode_png(_png(4, 1, depth, 0, rows))
+    with pytest.raises(PngError, match="sub-byte"):
+        decode_png(_png(2, 1, 4, 2, rows))
+    with pytest.raises(PngError, match="bit depth"):
+        decode_png(_png(4, 1, 3, 0, rows))  # depth 3 is not a PNG depth
 
 
 def test_16bit_gray_via_raw_stream():
