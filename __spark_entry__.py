@@ -1201,6 +1201,112 @@ WHERE corpus_key = {_CORPUS_KEY_SQL}
 """
 
 
+def _preocr_row(doc_id: int, text: str) -> tuple:
+    """One document through the FULL pre-OCR chain (S10/C5 + I1-I6:
+    OSD parse → rotate → ×2 bicubic upscale → CLAHE+unsharp) with a
+    deterministic injected OSD source; the md5 of the output pixels
+    makes the driver check byte-level over the whole numpy chain."""
+    import hashlib
+
+    import numpy as np
+
+    from ocr_api_spark.kernels import image as im
+
+    payload = _image_payload(doc_id, text)
+    from ocr_api_spark.operators.multimodal import _Decoder
+
+    arr, _kind = _Decoder._try_pixels(payload)
+    if arr is None:
+        return None, None, None, None
+    angle = (doc_id % 4) * 90  # deterministic "Tesseract" OSD verdict
+    arr = im.alpha_flatten(arr)
+    img = im.correct_rotation(arr if arr.ndim == 2 else im.bgr_to_gray(arr), angle)
+    img = im.upscale_image(img, 2.0)
+    img = im.enhance_contrast_and_sharpen(np.repeat(img[..., None], 3, 2))
+    return (
+        int(angle),
+        int(img.shape[0]),
+        int(img.shape[1]),
+        hashlib.md5(np.ascontiguousarray(img).tobytes()).hexdigest(),
+    )
+
+
+def _write_expected_preocr(sf_dir: str) -> None:
+    import os
+
+    if ("preocr", sf_dir) in _EXPECTED_DONE:
+        return
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(_EXPECTED_DIR, exist_ok=True)
+    docs = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    key = _corpus_key(docs["text"])
+    docs = docs[docs["doc_id"] < 24]
+    rows = [_preocr_row(int(d), t) for d, t in zip(docs["doc_id"], docs["text"])]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "osd_angle": [r[0] for r in rows],
+            "out_h": [r[1] for r in rows],
+            "out_w": [r[2] for r in rows],
+            "pixels_md5": [r[3] for r in rows],
+            "corpus_key": key,
+        }
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"preocr_expected_{_sf_tag(sf_dir)}.parquet"), index=False
+    )
+    _EXPECTED_DONE.add(("preocr", sf_dir))
+
+
+def _img_preocr_chain(spark, sf_dir):
+    """The numpy image-processing chain itself in the exact gate:
+    codec decode → rotation warp → INTER_CUBIC upscale → CLAHE +
+    unsharp, distributed, byte-hashed against the driver-side run."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    _write_expected_preocr(sf_dir)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 24)
+
+    schema = StructType(
+        [
+            StructField("osd_angle", IntegerType()),
+            StructField("out_h", IntegerType()),
+            StructField("out_w", IntegerType()),
+            StructField("pixels_md5", StringType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def chain(doc_ids, texts):
+        import pandas as pd
+
+        rows = [_preocr_row(int(d), t) for d, t in zip(doc_ids, texts)]
+        return pd.DataFrame(
+            rows, columns=["osd_angle", "out_h", "out_w", "pixels_md5"]
+        )
+
+    out = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), chain("doc_id", "text").alias("__c")
+    )
+    return out.select("doc_id", "__c.osd_angle", "__c.out_h", "__c.out_w", "__c.pixels_md5")
+
+
+def _img_preocr_sql() -> str:
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, osd_angle::INT AS osd_angle,
+       out_h::INT AS out_h, out_w::INT AS out_w, pixels_md5
+FROM read_parquet('{_EXPECTED_DIR}/preocr_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = {_CORPUS_KEY_SQL}
+"""
+
+
 def _kmeans_replica(ids, vectors, k=4, iters=3):
     """Driver-side replica of operators/ivf.kmeans_lloyd: Python
     ``decimal`` sums reproduce Spark's DECIMAL(28,12) cast (repr-based
@@ -1783,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_kmeans": _emb_ivf_kmeans,
         "img_decode_features": _img_decode_features,
+        "img_preocr_chain": _img_preocr_chain,
         "emb_label_centroid": _emb_label_centroid_norm,
         "extract_pan_over_documents": _extract_pan_over_documents,
         "extract_all_branches": _extract_all_branches,
@@ -1813,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
             _write_expected_html_roundtrip(default_sf)
             _write_expected_kmeans(default_sf)
             _write_expected_img_features(default_sf)
+            _write_expected_preocr(default_sf)
         except Exception:
             pass  # queries() regenerates for its own sf_dir anyway
     return {
@@ -1851,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": _emb_ivf_topk_sql(),
         "emb_ivf_kmeans": _emb_kmeans_sql(),
         "img_decode_features": _img_features_sql(),
+        "img_preocr_chain": _img_preocr_sql(),
         "emb_label_centroid": _EMB_CENTROID_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,
