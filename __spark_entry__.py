@@ -954,17 +954,14 @@ def _emb_near_dup_auto(spark, sf_dir):
     round-2 verdict's fix for the fixed-256-bucket scale bug.  At
     sf0.01 (n=500 vectors) this resolves to 4 bits; at sf0.1 (n=2000)
     to 6; at 10^12 it would be ~35 of the 64 dims."""
-    from ocr_api_spark.operators.similarity import auto_sign_bits, near_dup_pairs
+    from ocr_api_spark.operators.similarity import near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    # the SQL oracle emits 16 guarded bucket terms, so THIS query clamps
-    # its auto width to 16 too (review finding: an unbounded clamp would
-    # silently diverge from the oracle past ~2.1M vectors); the operator
-    # itself clamps only at the dimensionality
-    n_rows, dims = emb.select(F.count(F.lit(1)), F.min(F.size("embedding"))).first()
-    bits = min(auto_sign_bits(int(n_rows or 0), int(dims or 0)), 16)
+    # max_bits=16 = the SQL oracle's emitted-term budget (review finding:
+    # an unbounded width would silently diverge from the oracle past
+    # ~2.1M vectors); the derivation itself stays in the operator
     return (
-        near_dup_pairs(emb, 0.35, bits=max(bits, 1))
+        near_dup_pairs(emb, 0.35, bits="auto", max_bits=16)
         .withColumn("id_a", F.col("id_a").cast("bigint"))
         .withColumn("id_b", F.col("id_b").cast("bigint"))
     )

@@ -326,16 +326,30 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if height * width > _MAX_PIXELS:
                 raise JpegError(f"frame {width}x{height} exceeds the pixel cap")
             ncomp = seg[5]
+            # only gray/YCbCr frames are reconstructable here, so reject
+            # other counts BEFORE allocating coefficient planes — a
+            # corrupt 255-component SOF would otherwise allocate ~66 GB
+            # under the pixel cap (review finding, reproduced)
+            if ncomp not in (1, 3):
+                raise JpegError(f"{ncomp}-component frame unsupported")
             comps = []
             for ci in range(ncomp):
                 cid = seg[6 + 3 * ci]
                 hv = seg[7 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * ci]))
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+                    raise JpegError(f"sampling factors {h_i}x{v_i} out of spec")
+                comps.append((cid, h_i, v_i, seg[8 + 3 * ci]))
             frame = (height, width, comps, marker == 0xC2)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-width // (8 * hmax))
             mcus_y = -(-height // (8 * vmax))
+            total_bytes = sum(
+                mcus_y * c[2] * mcus_x * c[1] * 64 * 4 for c in comps
+            )
+            if total_bytes > (1 << 29):  # 512 MB coefficient budget
+                raise JpegError("coefficient planes exceed the memory budget")
             coeffs = {
                 c[0]: np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int32)
                 for c in comps
@@ -368,6 +382,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if frame is None or scans_done == 0:
         raise JpegError("no SOS marker found")
     return _reconstruct(frame, quant, coeffs)
+
+
+def _comp_block_dims(width, height, h, v, hmax, vmax):
+    """Non-interleaved scans walk the COMPONENT's own block grid:
+    ceil(ceil(dim * f / fmax) / 8) per axis."""
+    bw = -(-(-(-width * h // hmax)) // 8)
+    bh = -(-(-(-height * v // vmax)) // 8)
+    return bw, bh
 
 
 def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
@@ -531,8 +553,7 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             # raster order (one block per MCU), not the frame MCU grid
             cid, dct, act = scan_comps[0]
             _, h, v, _q = by_id[cid]
-            bw = -(-(-(-width * h // hmax)) // 8)
-            bh_n = -(-(-(-height * v // vmax)) // 8)
+            bw, bh_n = _comp_block_dims(width, height, h, v, hmax, vmax)
             unit = 0
             for by in range(bh_n):
                 for bx in range(bw):
@@ -562,8 +583,7 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         else:
             cid, dct, _act = scan_comps[0]
             _, h, v, _q = by_id[cid]
-            bw = -(-(-(-width * h // hmax)) // 8)
-            bh_n = -(-(-(-height * v // vmax)) // 8)
+            bw, bh_n = _comp_block_dims(width, height, h, v, hmax, vmax)
             unit = 0
             for by in range(bh_n):
                 for bx in range(bw):
@@ -579,10 +599,7 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         raise JpegError("progressive AC scan must be non-interleaved")
     cid, _dct, act = scan_comps[0]
     _, h, v, _q = by_id[cid]
-    comp_w = -(-width * h // hmax)
-    comp_h = -(-height * v // vmax)
-    bw = -(-comp_w // 8)
-    bh_n = -(-comp_h // 8)
+    bw, bh_n = _comp_block_dims(width, height, h, v, hmax, vmax)
     unit = 0
     for by in range(bh_n):
         for bx in range(bw):

@@ -151,10 +151,28 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise PngError("zero-dimension image")
     if width * height > _MAX_PIXELS:
         raise PngError(f"image {width}x{height} exceeds the pixel cap")
+
+    # expected filtered size is fully determined by the header, so the
+    # inflate is BOUNDED — a zlib bomb cannot out-allocate the pixel cap
+    # (review finding, reproduced: a 194 KB payload inflating to 200 MB)
+    def row_stride(pw: int) -> int:
+        return 1 + (pw * channels * depth + 7) // 8
+
+    if interlace == 0:
+        expected = height * row_stride(width)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw and ph:
+                expected += ph * row_stride(pw)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected)
     except zlib.error as e:
         raise PngError(f"bad IDAT zlib stream: {e}") from e
+    if len(raw) < expected:
+        raise PngError("IDAT inflates short of the declared geometry")
     if depth < 8:
         # 1/2/4-bit rows (1-bit = the classic document-scan PNG): one
         # filter byte per row, samples packed MSB-first, bpp=1 for the

@@ -77,6 +77,7 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket_rows: int = 32,
+    max_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket candidates
     (identical ``bits``-dim sign pattern in at least one of ``n_bands``
@@ -99,6 +100,8 @@ def near_dup_pairs(
         ).first()
         bits = auto_sign_bits(int(n_rows or 0), int(dims or 0) // max(n_bands, 1),
                               target_bucket_rows)
+        if max_bits is not None:  # e.g. an oracle's emitted-term budget
+            bits = min(bits, max_bits)
         # empty input (or zero-dim vectors) resolves to 0 bits; one
         # vacuous bucket bit keeps the plan buildable and the result
         # correctly empty instead of crashing at plan time

@@ -140,20 +140,33 @@ def compact_bucket(
         lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         # a hard-killed compactor leaves its lock behind; break stale
-        # locks by age so one crash can't disable compaction forever
+        # locks by age so one crash can't disable compaction forever.
+        # The break CLAIMS the old lock via rename — atomic, so exactly
+        # one of several concurrent breakers wins (review: remove+create
+        # had a TOCTOU admitting two).  A lock older than the TTL from a
+        # compactor that is genuinely still alive remains a documented
+        # operational limit of file locks: set lock_ttl_sec above the
+        # worst single-bucket compaction time.
+        import uuid as _uuid
+
         try:
             stale = time.time() - os.path.getmtime(lock_path) > lock_ttl_sec
         except FileNotFoundError:
-            stale = True  # holder just released it: treat as contended
+            stale = False  # holder just released it: treat as contended
         if not stale:
             return {"bucket": bucket, "compacted": False, "reason": "locked"}
+        claim = lock_path + f".broken-{_uuid.uuid4().hex[:8]}"
         try:
-            os.remove(lock_path)
+            os.rename(lock_path, claim)
+        except FileNotFoundError:  # lost the claim race
+            return {"bucket": bucket, "compacted": False, "reason": "locked"}
+        try:
+            os.remove(claim)
         except FileNotFoundError:
             pass
         try:
             lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:  # lost the race to another lock-breaker
+        except FileExistsError:  # a fresh acquirer got in first
             return {"bucket": bucket, "compacted": False, "reason": "locked"}
     try:
         os.write(lock_fd, f"{os.getpid()} {time.time()}".encode())
@@ -196,7 +209,10 @@ def compact_bucket(
         # PUBLISH, then delete: from here the old files are logically gone
         write_snapshot(out_dir, set(new_rel), stats_rows, replaces=set(old), compaction=True)
         for f in old:
-            os.remove(f)
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass  # a concurrent GC/compactor already reclaimed it
         return {
             "bucket": bucket,
             "compacted": True,

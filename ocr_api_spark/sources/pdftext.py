@@ -48,6 +48,9 @@ CHAR_WIDTH_FACTOR = 0.5  # fixed-advance width approximation per glyph
 # LZW code space tops out at 12 bits; module-level so the table-full /
 # clear-code boundary is testable at a small cap without 7 MB inputs
 _LZW_MAX_CODE = 4095
+# decompression bound for untrusted streams: a 64 MB TEXT content
+# stream is already absurd; a zlib/LZW bomb must not OOM the executor
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
 
 
 @dataclass
@@ -368,6 +371,8 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
             else:
                 raise MiniPdfError("bad LZW stream: code out of range")
             out += entry
+            if len(out) > _MAX_STREAM_BYTES:
+                raise MiniPdfError("LZW stream exceeds the size bound")
             prev = entry
             # the decoder runs one table entry behind the encoder, which
             # is exactly why EarlyChange exists: bump one code early
@@ -455,7 +460,10 @@ def _decode_stream(header: bytes, raw: bytes) -> bytes:
             import zlib
 
             try:
-                data = zlib.decompress(data)
+                d = zlib.decompressobj()
+                data = d.decompress(data, _MAX_STREAM_BYTES)
+                if d.unconsumed_tail:  # inflate bomb: bounded, then reject
+                    raise MiniPdfError("Flate stream exceeds the size bound")
             except zlib.error as e:
                 raise MiniPdfError(f"bad Flate stream: {e}") from e
             data = unpredict(data)

@@ -6,6 +6,8 @@ the PDF branch.  Deterministic seeds; 200 mutations per format."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -31,7 +33,7 @@ def _img(rng):
     ],
 )
 def test_corruption_never_escapes_module_error(name, make, decode, err):
-    rng = np.random.default_rng(hash(name) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))  # stable across runs
     data = make(rng)
     escaped = []
     for trial in range(200):
@@ -60,3 +62,71 @@ def test_truncation_never_escapes():
                 decode(data[:cut])
             except err:
                 pass
+
+
+def test_jpeg_many_component_sof_rejected_before_allocation():
+    """Review r3b: a corrupt SOF declaring 64+ components under the
+    pixel cap must be rejected BEFORE the coefficient planes allocate
+    (previously ~1 GB for a 220-byte payload)."""
+    import struct
+    import tracemalloc
+
+    sof_body = bytes([8]) + struct.pack(">HH", 2000, 2000) + bytes([64])
+    for ci in range(64):
+        sof_body += bytes([ci + 1, 0x44, 0])
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+        + b"\xff\xd9"
+    )
+    tracemalloc.start()
+    with pytest.raises(JpegError, match="component frame unsupported"):
+        decode_jpeg(data)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 32 * 1024 * 1024, peak
+
+
+def test_png_zlib_bomb_bounded_by_header_geometry():
+    """Review r3b: IDAT inflate is bounded by the filtered size the
+    header implies, so a small payload inflating to hundreds of MB
+    cannot out-allocate the pixel cap."""
+    import struct
+    import tracemalloc
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 0)
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    bomb = _z.compress(b"\x00" * (200 * 1024 * 1024), 9)  # ~200 MB inflated
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    tracemalloc.start()
+    out = decode_png(png)  # bounded inflate: decodes the declared 10x10
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert out.shape == (10, 10)
+    assert peak < 16 * 1024 * 1024, peak
+
+
+def test_pdf_flate_bomb_rejected():
+    import zlib as _z
+
+    bomb = _z.compress(b"A" * (80 * 1024 * 1024), 9)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(bomb)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + bomb + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    with pytest.raises(MiniPdfError, match="size bound"):
+        parse_pdf(pdf)

@@ -5,6 +5,8 @@ marker robustness, and the Spark decode path."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pytest
 

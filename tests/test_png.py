@@ -41,7 +41,7 @@ def _png(width, height, depth, color_type, raw_rows: bytes, extra=b"") -> bytes:
 @pytest.mark.parametrize("shape", [(13, 17), (9, 11, 3), (6, 8, 4), (1, 1), (2, 300, 3)])
 @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
 def test_roundtrip_every_filter(shape, ftype):
-    rng = np.random.default_rng(hash((shape, ftype)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((shape, ftype)).encode()))
     arr = rng.integers(0, 256, shape, dtype=np.uint8)
     out = decode_png(encode_png(arr, filter_types=ftype))
     assert out.shape == arr.shape and out.dtype == np.uint8
@@ -184,7 +184,7 @@ def test_unfilter_rejects_bad_stride():
 @pytest.mark.parametrize("shape", [(13, 17), (9, 11, 3), (6, 8, 4), (1, 1), (8, 8), (16, 16, 3)])
 @pytest.mark.parametrize("ftype", [0, 2, 4])
 def test_adam7_interlace_roundtrip(shape, ftype):
-    rng = np.random.default_rng(hash((shape, ftype, "i")) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((shape, ftype, "i")).encode()))
     arr = rng.integers(0, 256, shape, dtype=np.uint8)
     data = encode_png(arr, filter_types=ftype, interlace=True)
     # IHDR interlace flag set
