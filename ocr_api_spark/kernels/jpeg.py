@@ -275,6 +275,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (H, W, [(comp_id, h, v, quant_id)], progressive)
     coeffs: dict[int, np.ndarray] = {}  # cid -> (bh_pad, bw_pad, 64)
     restart_interval = 0
+    adobe_transform = None  # APP14: 0 = RGB (no YCbCr transform), 1 = YCbCr
     scans_done = 0
     i = 2
     n = len(data)
@@ -358,6 +359,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 color transform
+            adobe_transform = seg[11] if len(seg) > 11 else None
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
@@ -381,7 +384,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         i += 2 + seg_len
     if frame is None or scans_done == 0:
         raise JpegError("no SOS marker found")
-    return _reconstruct(frame, quant, coeffs)
+    return _reconstruct(frame, quant, coeffs, adobe_transform)
 
 
 def _comp_block_dims(width, height, h, v, hmax, vmax):
@@ -614,7 +617,7 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             unit += 1
 
 
-def _reconstruct(frame, quant, coeffs):
+def _reconstruct(frame, quant, coeffs, adobe_transform=None):
     height, width, comps, _progressive = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -648,6 +651,12 @@ def _reconstruct(frame, quant, coeffs):
         return planes[comps[0][0]]
     if len(comps) != 3:
         raise JpegError(f"{len(comps)}-component frame unsupported")
+    if adobe_transform == 0:
+        # Adobe APP14 transform 0: components are straight R, G, B
+        r = planes[comps[0][0]]
+        g = planes[comps[1][0]]
+        b = planes[comps[2][0]]
+        return np.dstack([b, g, r])
     y = planes[comps[0][0]].astype(np.float64)
     cb = planes[comps[1][0]].astype(np.float64) - 128.0
     cr = planes[comps[2][0]].astype(np.float64) - 128.0

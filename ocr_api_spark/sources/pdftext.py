@@ -115,8 +115,9 @@ def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
 
 
 _TOKEN_RE = re.compile(
-    rb"(\()|(<[0-9A-Fa-f\s]*>)|(/[^\s/\[\]()<>]+)|(\[)|(\])|(-?\d*\.?\d+)|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|')"
+    rb"(\()|(<[0-9A-Fa-f\s]*>)|(/[^\s/\[\]()<>]+)|(\[)|(\])|(-?\d*\.?\d+)|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|')|(BI\b)"
 )
+_INLINE_IMG_END_RE = re.compile(rb"\bEI(?=\s|$)")
 
 
 def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
@@ -140,6 +141,12 @@ def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
         if not m:
             break
         i = m.end()
+        if m.group(8):  # BI: inline image — its binary body can spell
+            # anything (fake strings/ops); skip wholesale to EI
+            em = _INLINE_IMG_END_RE.search(stream, i)
+            i = em.end() if em else len(stream)
+            stack.clear()
+            continue
         if m.group(1):  # literal string
             text, i = _read_literal_string(stream, m.start())
             (in_array if in_array is not None else stack).append(text)

@@ -231,3 +231,25 @@ def test_progressive_successive_approximation_hand_stream():
     blk[ZIGZAG] = zz
     expect = np.clip(np.round(_T.T @ blk.reshape(8, 8) @ _T + 128.0), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(out, expect)
+
+
+def test_adobe_app14_transform_zero_reads_rgb():
+    """APP14 'Adobe' transform 0 declares the 3 components are straight
+    R,G,B (no YCbCr step) — same entropy data, different color read."""
+    import struct
+
+    img = np.dstack(
+        [np.full((16, 16), 30, np.uint8), np.full((16, 16), 120, np.uint8),
+         np.full((16, 16), 220, np.uint8)]
+    )
+    data = encode_jpeg(img, quality=95)
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])
+    tagged = data[:2] + app14 + data[2:]
+    ycc = decode_jpeg(data)
+    rgb = decode_jpeg(tagged)
+    # untagged: our encoder wrote YCbCr, decode round-trips the colors
+    assert np.abs(ycc[0, 0].astype(int) - [30, 120, 220]).max() <= 2
+    # tagged: the Y,Cb,Cr planes are REINTERPRETED as R,G,B -> BGR flip
+    assert not (rgb[0, 0] == ycc[0, 0]).all()
+    y_plane = 0.299 * 220 + 0.587 * 120 + 0.114 * 30  # what Y held
+    assert abs(int(rgb[0, 0][2]) - round(y_plane)) <= 2  # R = old Y plane

@@ -520,3 +520,22 @@ def test_lzw_table_full_boundary_small_cap(monkeypatch):
         for n in (500, 2000, 8000):
             raw = bytes(rng.randrange(256) for _ in range(n))
             assert P.lzw_decode(P.lzw_encode(raw, ec), ec) == raw, (ec, n)
+
+
+def test_inline_image_skipped():
+    """BI...ID binary...EI bodies can spell fake strings/show ops; the
+    tokenizer must skip them wholesale and keep real text around them."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before image) Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00(fake) Tj \xff\xfeET BT EI\n"
+        b"BT /F1 12 Tf 72 680 Td (after image) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "before image\nafter image"
