@@ -539,3 +539,28 @@ def test_inline_image_skipped():
         + content + b"\nendstream\nendobj\n%%EOF\n"
     )
     assert parse_pdf(pdf)[0].extract_text() == "before image\nafter image"
+
+
+def test_fused_udf_compressed_pdf_branch(session):
+    """The pipeline's %PDF branch handles Flate-compressed content
+    streams identically to raw ones — same extracted text, same PAN."""
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.kernels.common import clean_text
+    from ocr_api_spark.operators.extract import fused_extract_udf
+
+    spans = [[(72, 72, 12, "Permanent Account Number"), (72, 90, 12, "ABCPS1234F")]]
+    plain = write_minimal_pdf(spans)
+    flate = write_minimal_pdf(spans, compress=True)
+    assert b"/FlateDecode" in flate
+    df = session.createDataFrame(
+        [("u1", "", bytearray(flate), "pan")],
+        "url string, text string, html binary, doc_type string",
+    )
+    nulls = [F.lit(None).cast("string")] * 9
+    out = df.withColumn(
+        "x", fused_extract_udf(F.col("text"), F.col("html"), F.col("doc_type"), *nulls)
+    ).select("x.extracted_text", "x.status", "x.pan").collect()[0]
+    assert out["extracted_text"] == clean_text(pdf_text(plain))
+    assert out["status"] == "Completed"
+    assert out["pan"]["ocr_pan_number"] == "ABCPS1234F"
