@@ -194,10 +194,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     _dedup_flow(docs.limit(200))  # warm codegen/shuffle paths, same plan
     t0 = time.time()
     n_pairs, n_dups = _dedup_flow(docs)
-    timings["dedup_pipeline"] = round(time.time() - t0, 3)
+    # reported as extras, NOT summed into `value`: the headline total
+    # stays comparable with rounds 1-2, which had no dedup stage
+    extras["dedup_pipeline_sec"] = round(time.time() - t0, 3)
     extras["dedup_candidate_pairs"] = n_pairs
     extras["dedup_verified_dups"] = n_dups
-    extras["dedup_docs_per_sec"] = round(n_docs_dedup / max(timings["dedup_pipeline"], 1e-9))
+    extras["dedup_docs_per_sec"] = round(n_docs_dedup / max(extras["dedup_pipeline_sec"], 1e-9))
 
     # single-core kernel micro-numbers: the scale-predictive figures
     # (e2e docs/sec at this sf is fixed-cost-dominated; these are not)
