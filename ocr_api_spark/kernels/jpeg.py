@@ -156,6 +156,25 @@ def _build_huffman_decoder(counts: list[int], symbols: list[int]) -> dict[tuple[
     return table
 
 
+class _HuffTable:
+    """Huffman table with a 16-bit lookup LUT: one table probe decodes
+    any symbol (codes are ≤ 16 bits), replacing the bit-at-a-time walk
+    that dominated pure-Python decode time.  LUT entry = (length << 8)
+    | symbol; 0 marks an invalid prefix."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, counts: list[int], symbols: list[int]):
+        self.codes = _build_huffman_decoder(counts, symbols)
+        lut = np.zeros(1 << 16, dtype=np.uint16)
+        for (length, code), sym in self.codes.items():
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (length << 8) | sym
+        # plain list: Python list indexing beats numpy scalar indexing
+        # in this per-symbol hot loop by ~5x
+        self.lut = lut.tolist()
+
+
 def _build_huffman_encoder(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, bit length)."""
     return {
@@ -172,17 +191,35 @@ class _BitReader:
         self.segments = segments
         self.seg = 0
         self.data = segments[0] if segments else b""
+        self.padded = self.data + b"\x00\x00"  # peek window never slices short
         self.pos = 0  # bit position within current segment
+        self.nbits = len(self.data) * 8
 
     def read_bit(self) -> int:
-        byte_i = self.pos >> 3
-        if byte_i >= len(self.data):
+        if self.pos >= self.nbits:
             raise JpegError("entropy data exhausted")
-        bit = (self.data[byte_i] >> (7 - (self.pos & 7))) & 1
+        bit = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
         self.pos += 1
         return bit
 
+    def _peek16(self) -> int:
+        """Next 16 bits, zero-padded past the segment end (consumption
+        is bounds-checked separately)."""
+        byte_i = self.pos >> 3
+        return (
+            int.from_bytes(self.padded[byte_i : byte_i + 3], "big")
+            >> (8 - (self.pos & 7))
+        ) & 0xFFFF
+
     def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise JpegError("entropy data exhausted")
+        if n <= 16:
+            v = self._peek16() >> (16 - n)
+            self.pos += n
+            return v
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
@@ -193,16 +230,20 @@ class _BitReader:
         if self.seg >= len(self.segments):
             raise JpegError("missing restart segment")
         self.data = self.segments[self.seg]
+        self.padded = self.data + b"\x00\x00"
         self.pos = 0
+        self.nbits = len(self.data) * 8
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise JpegError("invalid Huffman code")
+    def decode_symbol(self, table: "_HuffTable") -> int:
+        # single LUT probe on a 16-bit window (all JPEG codes fit)
+        entry = table.lut[self._peek16()]
+        if entry == 0:
+            raise JpegError("invalid Huffman code")
+        length = entry >> 8
+        if self.pos + length > self.nbits:
+            raise JpegError("entropy data exhausted")
+        self.pos += length
+        return entry & 0xFF
 
 
 def _extend(value: int, size: int) -> int:
@@ -314,7 +355,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 counts = list(seg[p + 1 : p + 17])
                 total = sum(counts)
                 symbols = list(seg[p + 17 : p + 17 + total])
-                table = _build_huffman_decoder(counts, symbols)
+                table = _HuffTable(counts, symbols)
                 (huff_dc if cls == 0 else huff_ac)[tid] = table
                 p += 17 + total
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
