@@ -16,11 +16,10 @@ Two consumers share this module:
 
 ``encode_png`` is the fixture writer: it can apply any filter type
 per row, so decode tests exercise every unfilter branch by
-round-trip.  Scanline unfiltering for Sub/Average/Paeth is inherently
-sequential per byte; those rows fall back to a Python loop — fine for
-the batch-UDF sizes this feeds (documents, not video frames), and
-filter-0/Up rows (the common case for synthetic fixtures) stay
-vectorized.  JPEG (Huffman+DCT) remains the genuine environment gate.
+round-trip.  None/Up rows are fully vectorized and Sub rows are a
+per-lane mod-256 prefix sum (cumsum); only Average/Paeth rows are
+inherently sequential per byte and fall back to a Python loop — fine
+for the batch-UDF sizes this feeds (documents, not video frames).
 """
 
 from __future__ import annotations
@@ -66,14 +65,16 @@ def unfilter_scanlines(data: bytes, row_bytes: int, bpp: int) -> bytes:
             cur = row
         elif ftype == 2:  # Up — vectorized, no intra-row dependency
             cur = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential
+        elif ftype == 1:  # Sub — a per-lane prefix sum (mod-256 cumsum)
+            cur = row.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.int64) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth — sequential per byte
             cur = np.zeros(row_bytes, dtype=np.int32)
             for i in range(row_bytes):
                 a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) >> 1
                 else:
                     c = int(prev[i - bpp]) if i >= bpp else 0
