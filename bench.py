@@ -243,6 +243,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         im.enhance_contrast_and_sharpen(np.repeat(img[..., None], 3, 2))
     extras["kernel_preocr_images_per_sec_core"] = round(n_img / (time.time() - t0), 1)
 
+    # pure-numpy codec throughput on the same 640x480 scan, single core
+    from ocr_api_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    from ocr_api_spark.kernels.png import decode_png, encode_png
+
+    jb = encode_jpeg(scan, quality=85, progressive=True)
+    decode_jpeg(jb)  # warm
+    t0 = time.time()
+    for _ in range(3):
+        decode_jpeg(jb)
+    extras["kernel_jpeg_decode_per_sec_core"] = round(3 / (time.time() - t0), 1)
+    pb = encode_png(scan, filter_types=1)
+    decode_png(pb)
+    t0 = time.time()
+    for _ in range(5):
+        decode_png(pb)
+    extras["kernel_png_decode_per_sec_core"] = round(5 / (time.time() - t0), 1)
+
     total = round(sum(timings.values()), 3)
     result = {
         "host_steal_pct": _steal_pct(),
