@@ -1123,6 +1123,18 @@ def _image_feature_row(doc_id: int, text: str) -> tuple:
     return status, [float(v) for v in feature]
 
 
+def _feature_sig(feature: list) -> str:
+    """Canonical scalar for an array<double> feature: md5 of the
+    repr-joined values. The driver's pandas canonicalizer sorts result
+    columns, and list-valued cells are unhashable there — the gate
+    compares this digest instead (same pattern as img_preocr_chain's
+    pixel md5); the raw array stays available to pytest via
+    _image_feature_row."""
+    import hashlib
+
+    return hashlib.md5(",".join(repr(v) for v in feature).encode()).hexdigest()
+
+
 def _write_expected_img_features(sf_dir: str) -> None:
     import os
 
@@ -1145,7 +1157,7 @@ def _write_expected_img_features(sf_dir: str) -> None:
         {
             "doc_id": docs["doc_id"].astype("int64"),
             "decode_status": [r[0] for r in rows],
-            "feature": [r[1] for r in rows],
+            "feature_sig": [_feature_sig(r[1]) for r in rows],
             "corpus_key": key,
         }
     ).to_parquet(
@@ -1162,7 +1174,7 @@ def _img_decode_features(spark, sf_dir):
     distributed UDF; statistics must equal the driver-side run of the
     same code bit-for-bit."""
     from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
     _write_expected_img_features(sf_dir)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
@@ -1170,7 +1182,7 @@ def _img_decode_features(spark, sf_dir):
     schema = StructType(
         [
             StructField("decode_status", StringType()),
-            StructField("feature", ArrayType(DoubleType())),
+            StructField("feature_sig", StringType()),
         ]
     )
 
@@ -1180,19 +1192,22 @@ def _img_decode_features(spark, sf_dir):
 
         rows = [_image_feature_row(int(d), t) for d, t in zip(doc_ids, texts)]
         return pd.DataFrame(
-            {"decode_status": [r[0] for r in rows], "feature": [r[1] for r in rows]}
+            {
+                "decode_status": [r[0] for r in rows],
+                "feature_sig": [_feature_sig(r[1]) for r in rows],
+            }
         )
 
     out = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         feats("doc_id", "text").alias("__f"),
     )
-    return out.select("doc_id", "__f.decode_status", "__f.feature")
+    return out.select("doc_id", "__f.decode_status", "__f.feature_sig")
 
 
 def _img_features_sql() -> str:
     return f"""
-SELECT doc_id::BIGINT AS doc_id, decode_status, feature
+SELECT doc_id::BIGINT AS doc_id, decode_status, feature_sig
 FROM read_parquet('{_EXPECTED_DIR}/img_features_expected_*.parquet', union_by_name=true)
 WHERE corpus_key = {_CORPUS_KEY_SQL}
 """
