@@ -72,6 +72,8 @@ def _steal_pct() -> float | None:
 
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
+    global _STAT0
+    _STAT0 = None
     _steal_pct()  # arm the baseline
     from pyspark.sql import functions as F
 
@@ -274,11 +276,34 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return result
 
 
+# shared-host steal above this share makes throughput samples
+# non-comparable (BENCH/BASELINE.md methodology); retry instead of
+# recording a dirty sample — round 3's 3.6%-steal artifact read as a
+# phantom 1.6x regression
+STEAL_THRESHOLD_PCT = 0.5
+MAX_ATTEMPTS = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    result = run_bench(sf_dir, cpus)
-    print(json.dumps(result))
+    attempts: list[dict] = []
+    for i in range(MAX_ATTEMPTS):
+        result = run_bench(sf_dir, cpus)
+        attempts.append(result)
+        steal = result.get("host_steal_pct")
+        if steal is not None and steal <= STEAL_THRESHOLD_PCT:
+            break
+        if i < MAX_ATTEMPTS - 1:
+            print(
+                f"# host steal {steal}% > {STEAL_THRESHOLD_PCT}% — retrying",
+                file=sys.stderr,
+            )
+            time.sleep(20)  # let the ambient burst pass
+    # report the cleanest sample; keep every attempt's steal on record
+    best = min(attempts, key=lambda r: (r.get("host_steal_pct") is None, r.get("host_steal_pct") or 0.0))
+    best["steal_attempts_pct"] = [r.get("host_steal_pct") for r in attempts]
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":
