@@ -90,6 +90,7 @@ def unfilter_scanlines(data: bytes, row_bytes: int, bpp: int) -> bytes:
 
 
 _MAX_PIXELS = 64_000_000  # corrupted IHDR dims must not OOM the executor
+_MAX_SAMPLE_BYTES = 128_000_000  # decoded samples (w*h*ch*bytes), pre-temporaries
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -152,6 +153,13 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise PngError("zero-dimension image")
     if width * height > _MAX_PIXELS:
         raise PngError(f"image {width}x{height} exceeds the pixel cap")
+    # the pixel cap alone under-counts a 16-bit RGBA image by 8x (ADVICE
+    # r3): bound the decoded SAMPLE bytes too, since unfilter temporaries
+    # scale with width*height*channels*bytes_per_sample, not pixels
+    if width * height * channels * (2 if depth == 16 else 1) > _MAX_SAMPLE_BYTES:
+        raise PngError(
+            f"image {width}x{height}x{channels}@{depth} exceeds the sample-byte cap"
+        )
 
     # expected filtered size is fully determined by the header, so the
     # inflate is BOUNDED — a zlib bomb cannot out-allocate the pixel cap

@@ -133,44 +133,16 @@ def compact_bucket(
     limit (readers that go through ``snapshot_files`` are unaffected)."""
     import uuid
 
+    from ocr_api_spark.plans import locks
+
     base = os.path.join(out_dir, "extracted")
     bucket_dir = os.path.join(base, f"bucket={bucket}")
     lock_path = os.path.join(bucket_dir, ".compact.lock")
+    # stale-lock break-by-age with an atomic rename claim lives in
+    # plans/locks.py (shared with the credits-merge section)
+    if not locks.try_acquire(lock_path, ttl_sec=lock_ttl_sec):
+        return {"bucket": bucket, "compacted": False, "reason": "locked"}
     try:
-        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        # a hard-killed compactor leaves its lock behind; break stale
-        # locks by age so one crash can't disable compaction forever.
-        # The break CLAIMS the old lock via rename — atomic, so exactly
-        # one of several concurrent breakers wins (review: remove+create
-        # had a TOCTOU admitting two).  A lock older than the TTL from a
-        # compactor that is genuinely still alive remains a documented
-        # operational limit of file locks: set lock_ttl_sec above the
-        # worst single-bucket compaction time.
-        import uuid as _uuid
-
-        try:
-            stale = time.time() - os.path.getmtime(lock_path) > lock_ttl_sec
-        except FileNotFoundError:
-            stale = False  # holder just released it: treat as contended
-        if not stale:
-            return {"bucket": bucket, "compacted": False, "reason": "locked"}
-        claim = lock_path + f".broken-{_uuid.uuid4().hex[:8]}"
-        try:
-            os.rename(lock_path, claim)
-        except FileNotFoundError:  # lost the claim race
-            return {"bucket": bucket, "compacted": False, "reason": "locked"}
-        try:
-            os.remove(claim)
-        except FileNotFoundError:
-            pass
-        try:
-            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:  # a fresh acquirer got in first
-            return {"bucket": bucket, "compacted": False, "reason": "locked"}
-    try:
-        os.write(lock_fd, f"{os.getpid()} {time.time()}".encode())
-        os.close(lock_fd)
         old = [
             os.path.join(bucket_dir, f)
             for f in os.listdir(bucket_dir)
@@ -220,10 +192,7 @@ def compact_bucket(
             "files_after": len(new_rel),
         }
     finally:
-        try:
-            os.remove(lock_path)
-        except FileNotFoundError:
-            pass
+        locks.release(lock_path)
 
 
 def gc_orphans(out_dir: str, min_age_sec: float = 3600.0) -> list[str]:

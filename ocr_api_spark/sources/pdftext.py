@@ -117,7 +117,12 @@ def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
 _TOKEN_RE = re.compile(
     rb"(\()|(<[0-9A-Fa-f\s]*>)|(/[^\s/\[\]()<>]+)|(\[)|(\])|(-?\d*\.?\d+)|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|')|(BI\b)"
 )
-_INLINE_IMG_END_RE = re.compile(rb"\bEI(?=\s|$)")
+# EI must follow whitespace AND come after the ID keyword: inline-image
+# binary bytes between BI..ID are dict tokens, but the sample data after
+# ID can spell anything — including a whitespace-delimited 'EI' — so the
+# skip anchors on ID first and demands whitespace on both sides of EI
+_INLINE_IMG_ID_RE = re.compile(rb"\bID[\s]")
+_INLINE_IMG_END_RE = re.compile(rb"(?<=[\s])EI(?=\s|$)")
 
 
 def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
@@ -142,8 +147,9 @@ def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
             break
         i = m.end()
         if m.group(8):  # BI: inline image — its binary body can spell
-            # anything (fake strings/ops); skip wholesale to EI
-            em = _INLINE_IMG_END_RE.search(stream, i)
+            # anything (fake strings/ops); skip wholesale past ID → EI
+            idm = _INLINE_IMG_ID_RE.search(stream, i)
+            em = _INLINE_IMG_END_RE.search(stream, idm.end() if idm else i)
             i = em.end() if em else len(stream)
             stack.clear()
             continue
@@ -292,9 +298,14 @@ def _length_of(header: bytes, data: bytes) -> int | None:
         if dm:
             return int(dm.group(1))
     if rm:
-        lm = re.search(
+        # last definition wins, consistent with _scan_objects: in an
+        # incrementally-updated PDF the superseding length object is
+        # appended after the original (ADVICE r3)
+        lm = None
+        for lm in re.finditer(
             rb"(?<![\d])" + rm.group(1) + rb"\s+\d+\s+obj\s*(\d+)\s*endobj", data
-        )
+        ):
+            pass
         if lm:
             return int(lm.group(1))
     return None

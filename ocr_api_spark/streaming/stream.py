@@ -176,8 +176,35 @@ def merge_credits_batch(
     global max batch_id would silently drop genuinely new batches.  A
     per-run map ``{run_id: last_batch_id}`` dedupes replays within each
     stream without streams interfering; pass the checkpoint's stable
-    query id (``run_credits_merge_stream`` does).  Returns whether the
-    batch was applied."""
+    query id (``run_credits_merge_stream`` does).
+
+    The whole read→gate→decrement→replace section runs under an O_EXCL
+    lock (ADVICE r3): the watermark dedupes REPLAYS, but two live
+    streams merging into the same accounts table are an unlocked
+    read-modify-write — both read the snapshot, both ``os.replace`` it,
+    and the loser's decrement AND watermark silently vanish (lost
+    update).  The lock serializes writers; break-by-age handles a
+    hard-killed holder (plans/locks.py).  Returns whether the batch was
+    applied; raises ``BlockingIOError`` when the lock is contended so
+    foreachBatch retries the batch instead of silently dropping it."""
+    from ocr_api_spark.plans import locks
+
+    lock_path = accounts_path + ".merge.lock"
+    if not locks.try_acquire(lock_path):
+        raise BlockingIOError(f"accounts merge lock contended: {lock_path}")
+    try:
+        return _merge_credits_batch_locked(spark, accounts_path, batch_df, batch_id, run_id)
+    finally:
+        locks.release(lock_path)
+
+
+def _merge_credits_batch_locked(
+    spark: SparkSession,
+    accounts_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    run_id: str,
+) -> bool:
     import json as _json
     import os
 

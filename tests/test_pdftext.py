@@ -541,6 +541,51 @@ def test_inline_image_skipped():
     assert parse_pdf(pdf)[0].extract_text() == "before image\nafter image"
 
 
+def _one_page_pdf(content: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_inline_image_ei_inside_dict_tokens_is_skipped():
+    """ADVICE r3: an 'EI' spelled between BI and ID (inside the image
+    DICT tokens, e.g. a custom key) must not end the skip — the real
+    terminator is whitespace-EI-whitespace AFTER the ID keyword, so
+    sample bytes spelling 'EI ' mid-data don't leak either when the
+    stream's genuine EI follows."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (keep) Tj ET\n"
+        # /EIKEY would match \bEI before the fix; binary body contains
+        # a whitespace-delimited EI lookalike preceded by non-space
+        b"BI /W 2 /H 2 /EIKEY 1 /BPC 8 /CS /G ID \x00xEI(garbage) Tj \xff EI\n"
+        b"BT /F1 12 Tf 72 680 Td (kept too) Tj ET"
+    )
+    assert parse_pdf(_one_page_pdf(content))[0].extract_text() == "keep\nkept too"
+
+
+def test_indirect_length_last_definition_wins():
+    """ADVICE r3: an incrementally-updated PDF appends a superseding
+    length object; resolving an indirect /Length must take the LAST
+    definition (consistent with _scan_objects), not the first."""
+    content = b"BT /F1 12 Tf 72 700 Td (incremental) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"5 0 obj 7 endobj\n"  # superseded: would slice the stream to 7 bytes
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj " + str(len(content)).encode() + b" endobj\n%%EOF\n"
+    )
+    assert parse_pdf(pdf)[0].extract_text() == "incremental"
+
+
 def test_fused_udf_compressed_pdf_branch(session):
     """The pipeline's %PDF branch handles Flate-compressed content
     streams identically to raw ones — same extracted text, same PAN."""

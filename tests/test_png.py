@@ -213,3 +213,35 @@ def test_16bit_palette_rejected():
     png = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
     with pytest.raises(PngError, match="16-bit palette"):
         decode_png(png)
+
+
+def test_sample_byte_cap_rejects_16bit_rgba_bomb():
+    """ADVICE r3: a 60M-pixel 16-bit RGBA header passes the raw pixel
+    cap but implies ~480 MB of filtered samples; the sample-byte cap
+    must reject it before any allocation."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ocr_api_spark.kernels.png import PngError, decode_png
+
+    w, h = 10_000, 6_000  # 60M pixels < 64M cap; x4 ch x2 bytes = 480 MB
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 6, 0, 0, 0)
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="sample-byte cap"):
+        decode_png(png)
