@@ -1213,6 +1213,151 @@ WHERE corpus_key = {_CORPUS_KEY_SQL}
 """
 
 
+def _pdf_raster_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic scanned-document PDF per doc: md5-keystream pixels
+    embedded through the repo's own writer, cycling the endpoint's
+    branches (app.py:419-443) — 1-page /DCTDecode, 1-page /FlateDecode,
+    2-page /LZWDecode merge, 3-page reject, and a non-PDF payload for
+    the bad_pdf boundary."""
+    import hashlib
+
+    import numpy as np
+
+    from ocr_api_spark.sources.pdfraster import write_image_pdf
+
+    seed = f"pdf:{doc_id}:{text or ''}".encode()
+    need = 20 * 28 * 4
+    stream = b""
+    block = seed
+    while len(stream) < need:
+        block = hashlib.md5(block).digest()
+        stream += block
+    pix = np.frombuffer(stream[:need], dtype=np.uint8)
+    gray = pix[: 20 * 28].reshape(20, 28)
+    bgr = pix[20 * 28 :].reshape(20, 28, 3)
+    kind = doc_id % 5
+    if kind == 0:
+        return write_image_pdf([gray], codec="jpeg", quality=85)
+    if kind == 1:
+        return write_image_pdf([bgr], codec="flate")
+    if kind == 2:
+        return write_image_pdf([gray, bgr], codec="lzw")
+    if kind == 3:
+        return write_image_pdf([gray, bgr, gray], codec="flate")  # reject: 3 pages
+    return b"not-a-pdf:" + block  # bad_pdf boundary
+
+
+def _pdf_raster_row(doc_id: int, text: str) -> tuple:
+    """(n_pages, raster_status, out_h, out_w, pixel_md5) — the same
+    decode+merge the ``pdf_raster`` operator runs, driver-side; the md5
+    covers the full .npy pixel payload so the gate is byte-level."""
+    import hashlib
+    import io
+
+    import numpy as np
+
+    from ocr_api_spark.sources.pdfraster import merge_pages, rasterize_pdf_pages
+    from ocr_api_spark.sources.pdftext import MiniPdfError
+
+    payload = _pdf_raster_payload(doc_id, text)
+    try:
+        pages = rasterize_pdf_pages(payload)
+        merged = merge_pages(pages)
+    except MiniPdfError:
+        return None, "bad_pdf", None, None, None
+    if merged is None:
+        return len(pages), "reject_pages", None, None, None
+    buf = io.BytesIO()
+    np.save(buf, merged, allow_pickle=False)
+    return (
+        len(pages),
+        "ok",
+        int(merged.shape[0]),
+        int(merged.shape[1]),
+        hashlib.md5(buf.getvalue()).hexdigest(),
+    )
+
+
+def _write_expected_pdf_raster(sf_dir: str) -> None:
+    import os
+
+    if ("pdf_raster", sf_dir) in _EXPECTED_DONE:
+        return
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(_EXPECTED_DIR, exist_ok=True)
+    docs = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    key = _corpus_key(docs["text"])
+    docs = docs[docs["doc_id"] < 40]
+    rows = [_pdf_raster_row(int(d), t) for d, t in zip(docs["doc_id"], docs["text"])]
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "n_pages": pd.array([r[0] for r in rows], dtype="Int32"),
+            "raster_status": [r[1] for r in rows],
+            "out_h": pd.array([r[2] for r in rows], dtype="Int32"),
+            "out_w": pd.array([r[3] for r in rows], dtype="Int32"),
+            "pixel_md5": [r[4] for r in rows],
+            "corpus_key": key,
+        }
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"pdf_raster_expected_{_sf_tag(sf_dir)}.parquet"),
+        index=False,
+    )
+    _EXPECTED_DONE.add(("pdf_raster", sf_dir))
+
+
+def _img_pdf_raster(spark, sf_dir):
+    """S3 in the exact gate: deterministic scanned-document PDFs
+    rasterized by the REAL ``pdf_raster`` operator (mapInPandas over
+    the pure-numpy codec stack) with the reference's 1/2-page merge and
+    reject logic; distributed output pixels must md5-match the
+    driver-side run bit-for-bit (reference app.py:419-443)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from ocr_api_spark.operators.multimodal import pdf_raster
+
+    _write_expected_pdf_raster(sf_dir)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    @pandas_udf(BinaryType())
+    def payload(doc_ids, texts):
+        import pandas as pd
+
+        return pd.Series(
+            [_pdf_raster_payload(int(d), t) for d, t in zip(doc_ids, texts)]
+        )
+
+    with_payload = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        payload("doc_id", "text").alias("payload"),
+    )
+    return pdf_raster(with_payload).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("n_pages").cast("int").alias("n_pages"),
+        "raster_status",
+        F.col("out_h").cast("int").alias("out_h"),
+        F.col("out_w").cast("int").alias("out_w"),
+        F.md5("image").alias("pixel_md5"),
+    )
+
+
+def _pdf_raster_sql() -> str:
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, n_pages::INT AS n_pages, raster_status,
+       out_h::INT AS out_h, out_w::INT AS out_w, pixel_md5
+FROM read_parquet('{_EXPECTED_DIR}/pdf_raster_expected_*.parquet', union_by_name=true)
+WHERE corpus_key = {_CORPUS_KEY_SQL}
+"""
+
+
 def _preocr_row(doc_id: int, text: str) -> tuple:
     """One document through the FULL pre-OCR chain (S10/C5 + I1-I6:
     OSD parse → rotate → ×2 bicubic upscale → CLAHE+unsharp) with a
@@ -1901,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_kmeans": _emb_ivf_kmeans,
         "img_decode_features": _img_decode_features,
+        "img_pdf_raster": _img_pdf_raster,
         "img_preocr_chain": _img_preocr_chain,
         "emb_label_centroid": _emb_label_centroid_norm,
         "extract_pan_over_documents": _extract_pan_over_documents,
@@ -1932,6 +2078,7 @@ def oracle_sql() -> dict[str, str]:
             _write_expected_html_roundtrip(default_sf)
             _write_expected_kmeans(default_sf)
             _write_expected_img_features(default_sf)
+            _write_expected_pdf_raster(default_sf)
             _write_expected_preocr(default_sf)
         except Exception:
             pass  # queries() regenerates for its own sf_dir anyway
@@ -1971,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": _emb_ivf_topk_sql(),
         "emb_ivf_kmeans": _emb_kmeans_sql(),
         "img_decode_features": _img_features_sql(),
+        "img_pdf_raster": _pdf_raster_sql(),
         "img_preocr_chain": _img_preocr_sql(),
         "emb_label_centroid": _EMB_CENTROID_SQL,
         "doc_simhash": _DOC_SIMHASH_SQL,

@@ -204,6 +204,68 @@ def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+PDF_RASTER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("n_pages", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("raster_status", StringType(), True),
+        StructField("image", BinaryType(), True),
+    ]
+)
+
+
+def pdf_raster(df: DataFrame, payload_col: str = "payload", dpi: int = 300) -> DataFrame:
+    """S3 end-to-end: PDF payloads → page raster via the repo's own
+    codec stack (``sources/pdfraster.py``), with the reference's
+    1-page / 2-page-vertical-merge / reject logic (app.py:419-443).
+    Output pixels travel as ``.npy`` bytes — the decoded-pixel
+    interchange the pre-OCR chain consumes — so the scanned-PDF branch
+    chains straight into ``preocr_chain``.  Statuses: ``ok``,
+    ``reject_pages`` (0 or >2 pages — the endpoint's False), and
+    ``bad_pdf`` (MiniPdfError: corrupt/unsupported bytes, never a
+    poison pill)."""
+    import io
+
+    import numpy as np
+
+    from ocr_api_spark.sources.pdfraster import merge_pages, rasterize_pdf_pages
+    from ocr_api_spark.sources.pdftext import MiniPdfError
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out = {k: [] for k in ("url", "n_pages", "out_h", "out_w", "raster_status", "image")}
+            for url, payload in zip(pdf_batch["url"], pdf_batch[payload_col]):
+                out["url"].append(url)
+                try:
+                    pages = rasterize_pdf_pages(bytes(payload), dpi=dpi)
+                    merged = merge_pages(pages)
+                except MiniPdfError:
+                    out["n_pages"].append(None)
+                    out["out_h"].append(None)
+                    out["out_w"].append(None)
+                    out["raster_status"].append("bad_pdf")
+                    out["image"].append(None)
+                    continue
+                out["n_pages"].append(len(pages))
+                if merged is None:
+                    out["out_h"].append(None)
+                    out["out_w"].append(None)
+                    out["raster_status"].append("reject_pages")
+                    out["image"].append(None)
+                    continue
+                buf = io.BytesIO()
+                np.save(buf, merged, allow_pickle=False)
+                out["out_h"].append(int(merged.shape[0]))
+                out["out_w"].append(int(merged.shape[1]))
+                out["raster_status"].append("ok")
+                out["image"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, PDF_RASTER_SCHEMA)
+
+
 PREOCR_SCHEMA = StructType(
     [
         StructField("url", StringType(), True),

@@ -301,3 +301,31 @@ def test_masked_image_b64_sink(session):
     assert masked[45:56, 30:90].max() <= 16  # blacked out
     assert masked[45:56, 110:135].min() >= 180  # last 4 digits visible
     assert masked[5:10, 2:8].min() >= 180  # non-aadhaar token untouched
+
+
+def test_pdf_raster_operator_statuses(session):
+    """S3 operator plumbing: ok / reject_pages / bad_pdf rows flow
+    through one mapInPandas batch; the .npy image output chains into
+    the pre-OCR decoder."""
+    import numpy as np
+
+    from ocr_api_spark.operators.multimodal import _Decoder, pdf_raster
+    from ocr_api_spark.sources.pdfraster import write_image_pdf
+
+    img = np.arange(20 * 28 * 3, dtype=np.uint8).reshape(20, 28, 3) % 251
+    rows = [
+        ("one", bytearray(write_image_pdf([img], codec="flate"))),
+        ("two", bytearray(write_image_pdf([img, img[:10]], codec="jpeg"))),
+        ("rej", bytearray(write_image_pdf([img, img, img], codec="flate"))),
+        ("bad", bytearray(b"\x00\x01 definitely not a pdf")),
+    ]
+    df = session.createDataFrame(rows, "url string, payload binary")
+    out = {r["url"]: r for r in pdf_raster(df).collect()}
+    assert out["one"]["raster_status"] == "ok"
+    assert (out["one"]["out_h"], out["one"]["out_w"]) == (20, 28)
+    arr = _Decoder._try_npy(bytes(out["one"]["image"]))
+    assert arr is not None and np.array_equal(arr, img)
+    assert out["two"]["raster_status"] == "ok"
+    assert out["two"]["n_pages"] == 2 and out["two"]["out_h"] == 30
+    assert out["rej"]["raster_status"] == "reject_pages" and out["rej"]["image"] is None
+    assert out["bad"]["raster_status"] == "bad_pdf" and out["bad"]["n_pages"] is None
