@@ -141,6 +141,16 @@ for _i in range(8):
         _T[_i, _j] = 0.5 * c * np.cos((2 * _j + 1) * _i * np.pi / 16.0)
 del _i, _j, c
 
+# IDCT as ONE dgemm: Tᵀ·X·T is linear in X, so with basis matrices
+# E_j (1 at (j//8, j%8)) the pixel block is vec_row(X) @ M where
+# M[j] = vec_row(Tᵀ·E_j·T) = vec_row(outer(T[j//8], T[j%8])).  Rows
+# pre-permuted to ZIGZAG input order so dequantized zigzag-order
+# coefficients multiply straight into pixels — replaces the batched
+# einsum (the old path cost ~10% of a decode).
+_IDCT_M = np.stack(
+    [np.outer(_T[j // 8], _T[j % 8]).ravel() for j in range(64)]
+)[ZIGZAG]
+
 
 def _build_huffman_decoder(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
     """(bit length, code) → symbol, canonical code assignment."""
@@ -156,16 +166,50 @@ def _build_huffman_decoder(counts: list[int], symbols: list[int]) -> dict[tuple[
     return table
 
 
+_FAST_LUT_CACHE: dict[tuple, list] = {}
+
+
+def _build_fast_lut(codes: dict[tuple[int, int], int], is_dc: bool) -> list[int]:
+    """Fused code+magnitude LUT (the libjpeg-turbo fast path, re-derived
+    for Python): one 16-bit window probe yields the FULLY decoded
+    coefficient — total bits consumed, zero run, and the EXTENDed signed
+    value — whenever code length + magnitude size fit the window.
+    Packing: total<<20 | run<<16 | (value+0x8000); 0 = take the slow
+    path (EOB/ZRL, >16-bit composites, invalid prefixes).  DC symbols
+    are the size directly (run 0); AC symbols are (run<<4)|size."""
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    for (length, code), sym in codes.items():
+        run, size = (0, sym) if is_dc else (sym >> 4, sym & 0x0F)
+        total = length + size
+        if total > 16 or (size == 0 and not is_dc):
+            continue  # AC EOB/ZRL and over-long composites stay slow
+        base = code << (16 - length)
+        span = 1 << (16 - length)
+        if size == 0:  # DC size-0: zero diff, consume the code only
+            lut[base : base + span] = (total << 20) | 0x8000
+            continue
+        idx = np.arange(base, base + span, dtype=np.int64)
+        mag = (idx >> (16 - total)) & ((1 << size) - 1)
+        val = np.where(mag < (1 << (size - 1)), mag - (1 << size) + 1, mag)
+        lut[base : base + span] = (total << 20) | (run << 16) | (val + 0x8000)
+    return lut.tolist()
+
+
 class _HuffTable:
     """Huffman table with a 16-bit lookup LUT: one table probe decodes
     any symbol (codes are ≤ 16 bits), replacing the bit-at-a-time walk
     that dominated pure-Python decode time.  LUT entry = (length << 8)
-    | symbol; 0 marks an invalid prefix."""
+    | symbol; 0 marks an invalid prefix.  ``fast_dc``/``fast_ac`` are
+    the fused code+magnitude LUTs (see _build_fast_lut), built lazily
+    and cached process-wide — real corpora reuse the Annex K tables, so
+    the build cost amortizes to zero."""
 
-    __slots__ = ("codes", "lut")
+    __slots__ = ("codes", "lut", "_key", "_fast")
 
     def __init__(self, counts: list[int], symbols: list[int]):
         self.codes = _build_huffman_decoder(counts, symbols)
+        self._key = (bytes(counts), bytes(symbols))
+        self._fast: dict[bool, list] = {}
         lut = np.zeros(1 << 16, dtype=np.uint16)
         for (length, code), sym in self.codes.items():
             base = code << (16 - length)
@@ -173,6 +217,16 @@ class _HuffTable:
         # plain list: Python list indexing beats numpy scalar indexing
         # in this per-symbol hot loop by ~5x
         self.lut = lut.tolist()
+
+    def fast(self, is_dc: bool) -> list[int]:
+        f = self._fast.get(is_dc)
+        if f is None:
+            key = (self._key, is_dc)
+            f = _FAST_LUT_CACHE.get(key)
+            if f is None:
+                f = _FAST_LUT_CACHE[key] = _build_fast_lut(self.codes, is_dc)
+            self._fast[is_dc] = f
+        return f
 
 
 def _build_huffman_encoder(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
@@ -183,6 +237,12 @@ def _build_huffman_encoder(counts: list[int], symbols: list[int]) -> dict[int, t
     }
 
 
+# per-bit window table gate: 16 bytes of table per stream byte, so a
+# 4 MB segment costs a 64 MB transient — anything larger decodes via
+# the shift path (restart-intervaled streams never get near this)
+_W16_MAX_SEGMENT_BYTES = 4_000_000
+
+
 class _BitReader:
     """MSB-first reader over destuffed entropy segments (one segment
     per restart interval; crossing a boundary resets DC predictors)."""
@@ -190,10 +250,36 @@ class _BitReader:
     def __init__(self, segments: list[bytes]):
         self.segments = segments
         self.seg = 0
-        self.data = segments[0] if segments else b""
-        self.padded = self.data + b"\x00\x00"  # peek window never slices short
+        self._load(segments[0] if segments else b"")
+
+    def _load(self, data: bytes) -> None:
+        self.data = data
         self.pos = 0  # bit position within current segment
-        self.nbits = len(self.data) * 8
+        self.nbits = len(data) * 8
+        # 24-bit window per BYTE offset, built vectorized once per
+        # segment: peeking 16 bits is ONE memoryview index + shift
+        # (measured ~2.5x faster than the from_bytes slice this
+        # replaced).  uint32 array = 4 bytes per stream byte.
+        a = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8).astype(np.uint32)
+        w24 = np.ascontiguousarray((a[:-2] << 16) | (a[1:-1] << 8) | a[2:])
+        self.w24 = memoryview(w24)
+        # per-BIT 16-bit window table: the hot loops' peek collapses to
+        # a single memoryview index, no shift/mask (uint16 × nbits =
+        # 16 bytes per stream byte, so gated by segment size; restart
+        # intervals keep real segments far below the gate)
+        if len(data) <= _W16_MAX_SEGMENT_BYTES:
+            # 2048 zero entries of tail padding: the hot loops defer the
+            # exhaustion check to the END of each block (saves one
+            # compare per coefficient), so a corrupt stream may probe up
+            # to one block (≤ 64 coefs × ≤ 31 bits) past nbits before
+            # the per-block check raises — the padding keeps those
+            # probes in bounds and they read as zero bits
+            w16 = np.zeros(8 * len(w24) + 2048, dtype=np.uint16)
+            for phase in range(8):
+                w16[phase : 8 * len(w24) : 8] = (w24 >> (8 - phase)) & 0xFFFF
+            self.w16 = memoryview(w16)
+        else:  # pragma: no cover - exercised via a lowered gate in tests
+            self.w16 = None
 
     def read_bit(self) -> int:
         if self.pos >= self.nbits:
@@ -205,11 +291,10 @@ class _BitReader:
     def _peek16(self) -> int:
         """Next 16 bits, zero-padded past the segment end (consumption
         is bounds-checked separately)."""
-        byte_i = self.pos >> 3
-        return (
-            int.from_bytes(self.padded[byte_i : byte_i + 3], "big")
-            >> (8 - (self.pos & 7))
-        ) & 0xFFFF
+        pos = self.pos
+        if self.w16 is not None:
+            return self.w16[pos]
+        return (self.w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
 
     def read_bits(self, n: int) -> int:
         if n == 0:
@@ -229,10 +314,7 @@ class _BitReader:
         self.seg += 1
         if self.seg >= len(self.segments):
             raise JpegError("missing restart segment")
-        self.data = self.segments[self.seg]
-        self.padded = self.data + b"\x00\x00"
-        self.pos = 0
-        self.nbits = len(self.data) * 8
+        self._load(self.segments[self.seg])
 
     def decode_symbol(self, table: "_HuffTable") -> int:
         # single LUT probe on a 16-bit window (all JPEG codes fit)
@@ -259,31 +341,39 @@ def _extend(value: int, size: int) -> int:
 def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded bytes from ``start``: drop 0xFF00 stuffing, split
     at restart markers, stop at any other marker.  Returns (segments,
-    index of the terminating marker's 0xFF)."""
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = start
+    index of the terminating marker's 0xFF).
+
+    Vectorized: one numpy pass finds every 0xFF, classifies the byte
+    after it, and the scan end is the first non-stuffing non-RST
+    marker; segment bodies then destuff with bytes.replace (C speed).
+    The byte-at-a-time walk this replaces cost ~25% of a whole
+    640x480 decode."""
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
-            break
-        m = data[i + 1]
-        if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:  # RSTn
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.flatnonzero(arr[start : n - 1] == 0xFF) + start
+    if ff.size:
+        nxt = arr[ff + 1]
+        is_stuff = nxt == 0x00
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        term = np.flatnonzero(~is_stuff & ~is_rst)
+        stop = int(ff[term[0]]) if term.size else None
+        if stop is None:
+            # trailing lone 0xFF (if any) terminates the walk below
+            cut_idx = ff.size
         else:
-            break
-    segments.append(bytes(cur))
-    return segments, i
+            cut_idx = int(term[0])
+        rst_pos = ff[:cut_idx][is_rst[:cut_idx]]
+    else:
+        stop = None
+        rst_pos = ff
+    if stop is None:
+        stop = n - 1 if n > start and data[n - 1] == 0xFF else n
+    bounds = [start, *(int(p) for p in rst_pos), stop]
+    segments = [
+        data[bounds[i] + (2 if i else 0) : bounds[i + 1]].replace(b"\xff\x00", b"\xff")
+        for i in range(len(bounds) - 1)
+    ]
+    return segments, stop
 
 
 _MAX_PIXELS = 64_000_000  # corrupted SOF dims must not OOM the executor
@@ -472,13 +562,45 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             raise JpegError("DC predictor out of range (corrupt stream)")
 
     def baseline_block(blk, cid, dc_t, ac_t):
-        s = reader.decode_symbol(dc_t)
-        pred[cid] += _extend(reader.read_bits(s), s) if s else 0
-        bound_pred(cid)
-        blk[0] = pred[cid]
+        # hot loop: local bit cursor + fused LUTs, ONE w16 probe per
+        # coefficient on the fast path (code+magnitude in one window);
+        # slow path (EOB/ZRL/over-long composites) via the plain LUT
+        pos = reader.pos
+        nbits = reader.nbits
+        w16 = reader.w16
+        if w16 is None:  # >gate segment: shift-probe variant
+            return baseline_block_shift(blk, cid, dc_t, ac_t)
+        e = dc_t.fast(True)[w16[pos]]
+        if e and pos + (e >> 20) <= nbits:
+            pos += e >> 20
+            p = pred[cid] = pred[cid] + (e & 0xFFFF) - 0x8000
+        else:
+            reader.pos = pos
+            s = reader.decode_symbol(dc_t)
+            pred[cid] += _extend(reader.read_bits(s), s) if s else 0
+            pos = reader.pos
+            p = pred[cid]
+        if not -(1 << 24) < p < (1 << 24):
+            raise JpegError("DC predictor out of range (corrupt stream)")
+        blk[0] = p
+        ac_fast = ac_t.fast(False)
+        ac_lut = ac_t.lut
         k = 1
         while k < 64:
-            rs = reader.decode_symbol(ac_t)
+            e = ac_fast[w16[pos]]
+            if e:
+                pos += e >> 20
+                k += (e >> 16) & 0x0F
+                if k > 63:
+                    raise JpegError("AC run past block end")
+                blk[k] = (e & 0xFFFF) - 0x8000
+                k += 1
+                continue
+            entry = ac_lut[w16[pos]]
+            if entry == 0:
+                raise JpegError("invalid Huffman code")
+            pos += entry >> 8
+            rs = entry & 0xFF
             r, s = rs >> 4, rs & 0x0F
             if s == 0:
                 if r == 15:  # ZRL
@@ -488,13 +610,90 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             k += r
             if k > 63:
                 raise JpegError("AC run past block end")
+            if pos > nbits:
+                raise JpegError("entropy data exhausted")
+            reader.pos = pos
             blk[k] = _extend(reader.read_bits(s), s)
+            pos = reader.pos
             k += 1
+        # exhaustion check deferred to block end (w16 tail padding keeps
+        # the overrun probes in bounds; see _load)
+        if pos > nbits:
+            raise JpegError("entropy data exhausted")
+        reader.pos = pos
 
-    def dc_block(blk, cid, dc_t):
-        if ah == 0:  # first pass
+    def baseline_block_shift(blk, cid, dc_t, ac_t):
+        # identical semantics over the 24-bit shift probe — only very
+        # large (>gate) unsegmented streams land here
+        pos = reader.pos
+        nbits = reader.nbits
+        w24 = reader.w24
+        w = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+        e = dc_t.fast(True)[w]
+        if e and pos + (e >> 20) <= nbits:
+            pos += e >> 20
+            p = pred[cid] = pred[cid] + (e & 0xFFFF) - 0x8000
+        else:
+            reader.pos = pos
             s = reader.decode_symbol(dc_t)
             pred[cid] += _extend(reader.read_bits(s), s) if s else 0
+            pos = reader.pos
+            p = pred[cid]
+        if not -(1 << 24) < p < (1 << 24):
+            raise JpegError("DC predictor out of range (corrupt stream)")
+        blk[0] = p
+        ac_fast = ac_t.fast(False)
+        ac_lut = ac_t.lut
+        k = 1
+        while k < 64:
+            w = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+            e = ac_fast[w]
+            if e:
+                t = e >> 20
+                if pos + t > nbits:
+                    raise JpegError("entropy data exhausted")
+                pos += t
+                k += (e >> 16) & 0x0F
+                if k > 63:
+                    raise JpegError("AC run past block end")
+                blk[k] = (e & 0xFFFF) - 0x8000
+                k += 1
+                continue
+            entry = ac_lut[w]
+            if entry == 0:
+                raise JpegError("invalid Huffman code")
+            length = entry >> 8
+            if pos + length > nbits:
+                raise JpegError("entropy data exhausted")
+            pos += length
+            rs = entry & 0xFF
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC run past block end")
+            reader.pos = pos
+            blk[k] = _extend(reader.read_bits(s), s)
+            pos = reader.pos
+            k += 1
+        reader.pos = pos
+
+    def dc_block(blk, cid, dc_t):
+        if ah == 0:  # first pass: fused probe (same shape as baseline)
+            pos = reader.pos
+            w16 = reader.w16
+            w = w16[pos] if w16 is not None else (reader.w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+            e = dc_t.fast(True)[w]
+            if e and pos + (e >> 20) <= reader.nbits:
+                reader.pos = pos + (e >> 20)
+                pred[cid] += (e & 0xFFFF) - 0x8000
+            else:
+                s = reader.decode_symbol(dc_t)
+                pred[cid] += _extend(reader.read_bits(s), s) if s else 0
             bound_pred(cid)
             blk[0] = pred[cid] << al
         else:  # refinement: one correction bit
@@ -505,23 +704,105 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         if eobrun[0] > 0:
             eobrun[0] -= 1
             return
+        pos = reader.pos
+        nbits = reader.nbits
+        w16 = reader.w16
+        if w16 is None:  # >gate segment: shift-probe variant
+            return ac_first_block_shift(blk, ac_t)
+        ac_fast = ac_t.fast(False)
+        ac_lut = ac_t.lut
         k = ss
         while k <= se:
-            rs = reader.decode_symbol(ac_t)
+            e = ac_fast[w16[pos]]
+            if e:
+                pos += e >> 20
+                k += (e >> 16) & 0x0F
+                if k > se:
+                    raise JpegError("AC run past band end")
+                blk[k] = ((e & 0xFFFF) - 0x8000) << al
+                k += 1
+                continue
+            entry = ac_lut[w16[pos]]
+            if entry == 0:
+                raise JpegError("invalid Huffman code")
+            pos += entry >> 8
+            rs = entry & 0xFF
             r, s = rs >> 4, rs & 0x0F
             if s == 0:
                 if r < 15:
+                    if pos > nbits:
+                        raise JpegError("entropy data exhausted")
+                    reader.pos = pos
                     eobrun[0] = (1 << r) - 1
                     if r:
                         eobrun[0] += reader.read_bits(r)
+                    pos = reader.pos
                     break
                 k += 16  # ZRL
                 continue
             k += r
             if k > se:
                 raise JpegError("AC run past band end")
+            if pos > nbits:
+                raise JpegError("entropy data exhausted")
+            reader.pos = pos
             blk[k] = _extend(reader.read_bits(s), s) << al
+            pos = reader.pos
             k += 1
+        # exhaustion check deferred to block end (w16 tail padding keeps
+        # the overrun probes in bounds; see _load)
+        if pos > nbits:
+            raise JpegError("entropy data exhausted")
+        reader.pos = pos
+
+    def ac_first_block_shift(blk, ac_t):
+        pos = reader.pos
+        nbits = reader.nbits
+        w24 = reader.w24
+        ac_fast = ac_t.fast(False)
+        ac_lut = ac_t.lut
+        k = ss
+        while k <= se:
+            w = (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+            e = ac_fast[w]
+            if e:
+                t = e >> 20
+                if pos + t > nbits:
+                    raise JpegError("entropy data exhausted")
+                pos += t
+                k += (e >> 16) & 0x0F
+                if k > se:
+                    raise JpegError("AC run past band end")
+                blk[k] = ((e & 0xFFFF) - 0x8000) << al
+                k += 1
+                continue
+            entry = ac_lut[w]
+            if entry == 0:
+                raise JpegError("invalid Huffman code")
+            length = entry >> 8
+            if pos + length > nbits:
+                raise JpegError("entropy data exhausted")
+            pos += length
+            rs = entry & 0xFF
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    reader.pos = pos
+                    eobrun[0] = (1 << r) - 1
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    pos = reader.pos
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise JpegError("AC run past band end")
+            reader.pos = pos
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            pos = reader.pos
+            k += 1
+        reader.pos = pos
 
     def ac_refine_block(blk, ac_t):
         # T.81 G.1.2.3: correction bits for already-nonzero coefficients,
@@ -669,11 +950,10 @@ def _reconstruct(frame, quant, coeffs, adobe_transform=None):
     for cid, h, v, qid in comps:
         if qid not in quant:
             raise JpegError("frame references undefined quant table")
-        cf = coeffs[cid].reshape(-1, 64) * quant[qid][None, :]
-        blocks = np.zeros((cf.shape[0], 64), dtype=np.float64)
-        blocks[:, ZIGZAG] = cf
-        blocks = blocks.reshape(-1, 8, 8)
-        pixels = np.einsum("ij,njk,kl->nil", _T.T, blocks, _T) + 128.0
+        # dequant folded into the per-table IDCT matrix: one dgemm
+        # turns all zigzag coefficient rows into pixel rows at once
+        m_q = quant[qid].astype(np.float64)[:, None] * _IDCT_M
+        pixels = coeffs[cid].reshape(-1, 64).astype(np.float64) @ m_q + 128.0
         pixels = np.clip(np.round(pixels), 0, 255).astype(np.uint8)
         bw = mcus_x * h
         bh = mcus_y * v

@@ -253,3 +253,20 @@ def test_adobe_app14_transform_zero_reads_rgb():
     assert not (rgb[0, 0] == ycc[0, 0]).all()
     y_plane = 0.299 * 220 + 0.587 * 120 + 0.114 * 30  # what Y held
     assert abs(int(rgb[0, 0][2]) - round(y_plane)) <= 2  # R = old Y plane
+
+
+def test_w16_gate_fallback_decodes_identically(monkeypatch):
+    """Segments above the per-bit window-table gate decode via the
+    shift path; both paths must produce identical pixels."""
+    import numpy as np
+
+    from ocr_api_spark.kernels import jpeg as J
+
+    scan = np.random.default_rng(11).integers(0, 256, (64, 96), dtype=np.uint8)
+    for progressive in (False, True):
+        jb = J.encode_jpeg(scan, quality=80, progressive=progressive)
+        fast = J.decode_jpeg(jb)
+        monkeypatch.setattr(J, "_W16_MAX_SEGMENT_BYTES", 0)
+        slow = J.decode_jpeg(jb)
+        monkeypatch.undo()
+        assert np.array_equal(fast, slow), progressive
