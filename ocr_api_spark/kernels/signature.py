@@ -1,27 +1,21 @@
 """Signature-geometry kernels (reference I7-I10, app.py:4736-4886).
 
-The reference uses OpenCV (Otsu, morphology, contours, minAreaRect,
-PCA, Canny).  This container has no cv2, so these are numpy
-re-implementations that keep the reference's *decision structure* and
-thresholds; where an exact primitive is cv2-only the stand-in is
-documented inline:
+The reference uses OpenCV; these are numpy re-implementations of the
+SAME pipeline — the cv2 primitives live in ``kernels/contours.py``
+(connected components + external boundary for ``findContours``,
+rotating calipers for ``minAreaRect``, a real Canny with L1 magnitude
++ NMS + hysteresis, INTER_AREA resize, rotation warp and
+``getRectSubPix``), so the straight-line verdict now runs the
+reference's exact flow: vertical-line removal → largest external
+contour → minAreaRect → minor-axis ×4 expansion → rotate gray about
+the rect center → sub-pixel ROI crop → Otsu re-threshold →
+spread/touch/aspect tests (app.py:4736-4811).  The one documented
+interpolation difference: the rotation warp samples bilinearly where
+cv2 uses INTER_CUBIC — the ROI is re-thresholded immediately after,
+where the interpolant is immaterial.
 
-- Otsu threshold: exact (histogram between-class variance).
-- border-statistics of ``is_background_white``: exact port
-  (mean > 110, std < 80, max RGB diff < 35; app.py:4828-4852).
-- edge density: Sobel-magnitude density stands in for Canny density
-  (same intent: "busy border ⇒ not a clean white background").
-- signature angle: PCA over *foreground pixels* stands in for PCA over
-  the largest contour's points (app.py:4854-4868) — identical for
-  blob-like marks, deterministic.
-- straight-line verdict: row-spread/touch/aspect tests (app.py:4783-4806)
-  on the axis-aligned foreground crop instead of the rotated
-  minAreaRect ROI; the reference's vertical-line removal (1×30
-  MORPH_OPEN + subtract, app.py:4741-4744) runs first via
-  ``kernels.image.remove_vertical_lines`` (exact morphology).
-
-When cv2 is available the operators can swap in the exact primitives;
-the decision thresholds live here either way.
+Otsu, the border statistics, and every decision threshold are exact
+ports.
 """
 
 from __future__ import annotations
@@ -61,14 +55,17 @@ def foreground_mask(img: np.ndarray) -> np.ndarray:
     return gray <= otsu_threshold(gray)
 
 
-def _sobel_edge_density(gray: np.ndarray, mag_thresh: float = 100.0) -> float:
-    gx = np.zeros_like(gray, dtype=np.float64)
-    gy = np.zeros_like(gray, dtype=np.float64)
-    g = gray.astype(np.float64)
-    gx[:, 1:-1] = g[:, 2:] - g[:, :-2]
-    gy[1:-1, :] = g[2:, :] - g[:-2, :]
-    mag = np.hypot(gx, gy)
-    return float(np.mean(mag > mag_thresh))
+def _largest_contour_points(mask: np.ndarray) -> np.ndarray | None:
+    """The largest external contour's point set — findContours(
+    RETR_EXTERNAL) → max by area, as boundary pixels of the largest
+    hole-filled component."""
+    from ocr_api_spark.kernels.contours import boundary_points, fill_holes, largest_component
+
+    comp = largest_component(mask)
+    if comp is None:
+        return None
+    pts = boundary_points(fill_holes(comp))
+    return pts if len(pts) else None
 
 
 def is_background_white(
@@ -79,8 +76,12 @@ def is_background_white(
     edge_density_thresh: float = 0.09,
     margin: int = 10,
 ) -> bool:
-    """app.py:4813-4853 — border-margin pixel statistics (exact) plus
-    edge density (Sobel stand-in for Canny)."""
+    """app.py:4813-4853 — border-margin pixel statistics plus Canny
+    edge density over the combined border strip (left/right margins
+    INTER_AREA-resized to the top strip's width, exactly like the
+    reference's cv2.resize + vstack)."""
+    from ocr_api_spark.kernels.contours import area_resize, canny
+
     if image.ndim == 2:
         image = np.stack([image] * 3, axis=-1)
     top = image[0:margin, :, :]
@@ -96,8 +97,17 @@ def is_background_white(
     color_diff = np.max(border_pixels, axis=1) - np.min(border_pixels, axis=1)
     max_color_diff = float(np.max(color_diff))
 
-    gray_border = to_gray(np.concatenate([top, bottom], axis=0))
-    edge_density = _sobel_edge_density(gray_border)
+    combined_border = np.concatenate(
+        [
+            top,
+            bottom,
+            area_resize(left, top.shape[1], margin),
+            area_resize(right, top.shape[1], margin),
+        ],
+        axis=0,
+    )
+    edges = canny(to_gray(combined_border), 50.0, 150.0)
+    edge_density = float(np.sum(edges > 0) / edges.size)
 
     return (
         mean_val > mean_thresh
@@ -108,13 +118,11 @@ def is_background_white(
 
 
 def get_signature_angle(image: np.ndarray) -> float:
-    """app.py:4854-4868 — orientation of the mark via PCA (over
-    foreground pixels; the reference uses the largest contour's points)."""
-    mask = foreground_mask(image)
-    ys, xs = np.nonzero(mask)
-    if len(xs) < 2:
+    """app.py:4854-4868 — PCA over the largest external contour's
+    points; the first eigenvector's direction in degrees."""
+    pts = _largest_contour_points(foreground_mask(image))
+    if pts is None or len(pts) < 2:
         return 0.0
-    pts = np.stack([xs, ys], axis=1).astype(np.float64)
     centered = pts - pts.mean(axis=0)
     cov = centered.T @ centered / len(centered)
     eigvals, eigvecs = np.linalg.eigh(cov)
@@ -140,44 +148,46 @@ def rotate_image_to_horizontal(image: np.ndarray) -> np.ndarray:
 def is_straight_line_signature(
     image: np.ndarray,
     width_expand: float = 4.0,
+    row_ratio_thresh: float = 0.95,
     pixel_threshold: float = 9.5,
 ) -> bool:
-    """app.py:4736-4811 decision tests over the axis-aligned foreground
-    crop (the reference rotates the minAreaRect first; for near-horizontal
-    marks the tests coincide).  The box is expanded ``width_expand``×
-    along its minor dimension before the ROI tests, exactly like the
-    reference (app.py:4759-4762) — that margin is what makes the
-    vertical-spread and touch tests meaningful."""
+    """app.py:4736-4811, the exact flow: Otsu-INV ink mask →
+    vertical-line removal (1×30 MORPH_OPEN + subtract, table rules and
+    borders) → largest external contour → minAreaRect → expand the
+    minor dimension ``width_expand``× → rotate the GRAY image by the
+    rect angle about its center → getRectSubPix ROI → Otsu-INV
+    re-threshold → vertical-spread / border-touch / aspect tests.
+
+    Faithful quirk: the touch tests count pixels ``== 255`` in the
+    GRAY ROI (app.py:4789-4792 reads ``roi``, not ``clean_bin``) —
+    i.e. fully-saturated white, not ink."""
+    from ocr_api_spark.kernels.contours import get_rect_subpix, min_area_rect, warp_rotate
     from ocr_api_spark.kernels.image import remove_vertical_lines
 
-    # app.py:4741-4744: table rules / borders (30-px vertical runs) are
-    # opened out of the ink mask before the box tests
-    mask = remove_vertical_lines(foreground_mask(image), 30)
-    ys, xs = np.nonzero(mask)
-    if len(xs) == 0:
+    gray = to_gray(image)
+    mask = remove_vertical_lines(gray <= otsu_threshold(gray), 30)
+    pts = _largest_contour_points(mask)
+    if pts is None:
         return False
-    y0, y1, x0, x1 = int(ys.min()), int(ys.max()) + 1, int(xs.min()), int(xs.max()) + 1
-    bw, bh = x1 - x0, y1 - y0
-    cy, cx = (y0 + y1) / 2.0, (x0 + x1) / 2.0
-    if bw < bh:
-        bw = int(bw * width_expand)
+
+    center, (w, h), angle = min_area_rect(pts)
+    if w < h:
+        w *= width_expand
     else:
-        bh = int(bh * width_expand)
-    y0 = max(0, int(cy - bh / 2))
-    y1 = min(mask.shape[0], int(cy + bh / 2))
-    x0 = max(0, int(cx - bw / 2))
-    x1 = min(mask.shape[1], int(cx + bw / 2))
-    roi = mask[y0:y1, x0:x1]
-    h, w = roi.shape
+        h *= width_expand
+
+    rotated = warp_rotate(gray, center, angle)
+    roi = get_rect_subpix(rotated, (int(w), int(h)), center)
     if roi.size == 0:
         return False
 
-    vertical_sum = roi.sum(axis=1)
+    clean_bin = (roi <= otsu_threshold(roi)).astype(np.uint8) * 255
+    vertical_sum = np.sum(clean_bin == 255, axis=1)
     non_zero_rows = int(np.count_nonzero(vertical_sum > 0))
-    vertical_ratio = non_zero_rows / h
+    vertical_ratio = non_zero_rows / roi.shape[0]
 
-    touches_top = bool(np.any(roi[:5, :].sum(axis=1) > pixel_threshold))
-    touches_bottom = bool(np.any(roi[-5:, :].sum(axis=1) > pixel_threshold))
+    touches_top = bool(np.any(np.sum(roi[:5, :] == 255, axis=1) > pixel_threshold))
+    touches_bottom = bool(np.any(np.sum(roi[-5:, :] == 255, axis=1) > pixel_threshold))
     aspect_ratio = max(w, h) / (min(w, h) + 1e-5)
 
     return (

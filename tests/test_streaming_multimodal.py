@@ -163,8 +163,12 @@ def test_signature_operator(session):
 
     from ocr_api_spark.operators.multimodal import with_signature_verdicts
 
-    canvas = np.full((120, 300), 255, dtype=np.uint8)
-    canvas[57:63, 10:290] = 0  # 6px x 280px stroke (expanded aspect > 10)
+    # paper gray 245, not saturated 255: the reference's ROI touch test
+    # counts ==255 pixels (app.py:4789-4792), so a fully-saturated
+    # canvas reads as glare and vetoes the straight-line verdict
+    canvas = np.full((120, 300), 245, dtype=np.uint8)
+    canvas[55:63, 5:295] = 0  # 8px x 290px stroke: 28-row expanded ROI,
+    # spread 8/28 < 0.3, aspect 289/28 > 10
     rows = [("sig1", [[int(v) for v in row] for row in canvas])]
     df = session.createDataFrame(rows, "url string, img array<array<int>>")
     out = with_signature_verdicts(df).collect()[0]["signature"]
