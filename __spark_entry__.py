@@ -1039,22 +1039,71 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine FROM (
 """
 
 
-def _doc_bpe_tokens(spark, sf_dir):
-    """Token budgeting: whitespace count vs the BPE-ish pre-tokenizer
-    count, both JVM-side column expressions."""
-    from ocr_api_spark.operators.textstats import with_bpe_token_count, with_token_count
+def _write_expected_bpe(sf_dir: str) -> None:
+    """Driver-side replica of the TRUE merge-rank BPE count (the regex
+    estimate stays direct SQL; the merge loop isn't SQL-expressible, so
+    it takes the expected-parquet pattern)."""
+    import os
 
+    if ("bpe", sf_dir) in _EXPECTED_DONE:
+        return
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_api_spark.kernels.bpe import BpeTokenizer
+
+    os.makedirs(_EXPECTED_DIR, exist_ok=True)
+    docs = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    key = _corpus_key(docs["text"])
+    docs = docs[docs["doc_id"] < 200]
+    tok = BpeTokenizer()
+    pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "bpe_merge_token_count": [tok.count(t) if t else 0 for t in docs["text"]],
+            "corpus_key": key,
+        }
+    ).to_parquet(
+        os.path.join(_EXPECTED_DIR, f"bpe_expected_{_sf_tag(sf_dir)}.parquet"), index=False
+    )
+    _EXPECTED_DONE.add(("bpe", sf_dir))
+
+
+def _doc_bpe_tokens(spark, sf_dir):
+    """Token budgeting: whitespace count, the BPE-ish regex estimate
+    (both JVM-side), and the TRUE merge-rank BPE count (broadcast
+    merges table + Arrow-batched merge loop, kernels/bpe.py)."""
+    from ocr_api_spark.operators.textstats import (
+        with_bpe_merge_token_count,
+        with_bpe_token_count,
+        with_token_count,
+    )
+
+    _write_expected_bpe(sf_dir)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return with_bpe_token_count(with_token_count(docs)).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "token_count", "bpe_token_count"
+    return with_bpe_merge_token_count(with_bpe_token_count(with_token_count(docs))).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "token_count",
+        "bpe_token_count",
+        "bpe_merge_token_count",
     )
 
 
-_DOC_BPE_SQL = r"""
-SELECT doc_id::BIGINT AS doc_id,
-       len(string_split(text, ' '))::BIGINT AS token_count,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))::BIGINT AS bpe_token_count
-FROM documents WHERE doc_id < 200
+def _doc_bpe_sql() -> str:
+    return rf"""
+SELECT d.doc_id::BIGINT AS doc_id,
+       len(string_split(d.text, ' '))::BIGINT AS token_count,
+       len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\s]'))::BIGINT AS bpe_token_count,
+       e.bpe_merge_token_count::BIGINT AS bpe_merge_token_count
+FROM documents d
+JOIN read_parquet('{_EXPECTED_DIR}/bpe_expected_*.parquet', union_by_name=true) e
+  ON e.doc_id = d.doc_id AND e.corpus_key = {_CORPUS_KEY_SQL}
+WHERE d.doc_id < 200
 """
 
 
@@ -2079,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
             _write_expected_kmeans(default_sf)
             _write_expected_img_features(default_sf)
             _write_expected_pdf_raster(default_sf)
+            _write_expected_bpe(default_sf)
             _write_expected_preocr(default_sf)
         except Exception:
             pass  # queries() regenerates for its own sf_dir anyway
@@ -2127,7 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_auto": _EMB_NEAR_DUP_AUTO_SQL,
         "emb_near_dup_multiband": _EMB_NEAR_DUP_MULTIBAND_SQL,
-        "doc_bpe_tokens": _DOC_BPE_SQL,
+        "doc_bpe_tokens": _doc_bpe_sql(),
         "extract_pan_over_documents": _PAN_EXPECTED_SQL,
         "extract_all_branches": _BRANCHES_EXPECTED_SQL,
         "doc_pdf_roundtrip": _PDF_ROUNDTRIP_SQL,

@@ -38,6 +38,33 @@ def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_bpe_merge_token_count(
+    df: DataFrame, text_col: str = "text", merges=None
+) -> DataFrame:
+    """TRUE merge-rank BPE token count (kernels/bpe.py): the merges
+    table is broadcast to the executors and applied inside an
+    Arrow-batched pandas UDF with a per-batch word memo cache — the
+    regex column above stays as the cheap upper-bound estimate, this is
+    the budget number a training pipeline actually bills by."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ocr_api_spark.kernels.bpe import BpeTokenizer, default_merges
+
+    merges_tbl = tuple(merges) if merges is not None else default_merges()
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(merges_tbl)
+
+    @pandas_udf(LongType())
+    def bpe_count(texts):
+        import pandas as pd
+
+        tok = BpeTokenizer(bc.value)
+        return pd.Series([tok.count(t) if t else 0 for t in texts], dtype="int64")
+
+    return df.withColumn("bpe_merge_token_count", bpe_count(F.col(text_col)))
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shallow quality features: chars, tokens, mean token length,
     punctuation density — the reference's line-sanitize ratios

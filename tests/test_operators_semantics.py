@@ -333,3 +333,42 @@ def test_kmeans_lloyd_partition_invariant(session):
     b = {r["vec_id"]: r["ivf_list"] for r in b_df.collect()}
     assert a == b
     assert len(set(a.values())) > 1  # actually clusters
+
+
+def test_bpe_merge_rank_known_strings():
+    """True merge-rank BPE (kernels/bpe.py): pinned tokenizations of
+    known strings under the deterministic default merges table —
+    rank order (not greedy scanning) drives the merge loop."""
+    from ocr_api_spark.kernels.bpe import BpeTokenizer, default_merges, encode_word, merge_ranks
+
+    tok = BpeTokenizer()
+    assert tok.encode("the theory") == ["the</w>", "the", "or", "y</w>"]
+    assert tok.encode("that that") == ["that</w>", "that</w>"]
+    assert tok.encode("hello world") == ["h", "e", "l", "l", "o</w>", "wor", "ld</w>"]
+    assert tok.encode("a 1234 b!") == [
+        "a</w>", "1", "2", "3", "</w>", "4", "</w>", "b", "</w>", "!", "</w>",
+    ]
+    assert tok.encode("training") == ["t", "r", "ain", "in", "g</w>"]
+    assert tok.count("the theory") == 4
+
+    # the trainer is deterministic and its first merges are the classic
+    # English pair frequencies
+    merges = default_merges()
+    assert merges[1] == ("t", "h")
+    assert ("th", "e") in merges
+
+    # rank order beats left-to-right greediness: with ranks where (b,c)
+    # outranks (a,b), 'abc' must merge bc first
+    ranks = merge_ranks([("b", "c"), ("a", "bc")])
+    assert encode_word("abc", ranks) == ("abc", "</w>")
+
+
+def test_bpe_operator_matches_kernel(session):
+    from ocr_api_spark.kernels.bpe import BpeTokenizer
+    from ocr_api_spark.operators.textstats import with_bpe_merge_token_count
+
+    rows = [("d1", "the quick brown fox"), ("d2", "that that is is"), ("d3", "")]
+    df = session.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["bpe_merge_token_count"] for r in with_bpe_merge_token_count(df).collect()}
+    tok = BpeTokenizer()
+    assert got == {"d1": tok.count(rows[0][1]), "d2": tok.count(rows[1][1]), "d3": 0}
