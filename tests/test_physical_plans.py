@@ -147,3 +147,33 @@ def test_near_dup_auto_single_band_has_one_join(session):
     joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(joins) == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan  # JVM only
+
+
+def test_near_dup_join_keys_on_bucket_and_degrades_to_shuffle(session):
+    """The 100-TB shape guard (VERDICT r3 task 7): the candidate join
+    must be an equi-join KEYED ON the LSH bucket, and when the build
+    side outgrows the broadcast threshold the planner must degrade to a
+    shuffle join on the same key — never BroadcastNestedLoop/cartesian,
+    which would be all-pairs at corpus scale."""
+    import re
+
+    from ocr_api_spark.operators.similarity import near_dup_pairs
+
+    emb = session.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain_str(near_dup_pairs(emb, 0.35, bits=8))
+    m = re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)([^\n]*)\n((?:.*\n)*?)\n", plan)
+    assert m, plan
+    # the equi-join condition carries the bucket key
+    join_block = plan[m.start() : m.start() + 2000]
+    assert re.search(r"\bbucket\b", join_block), join_block
+
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_nb = explain_str(near_dup_pairs(emb, 0.35, bits=8))
+    finally:
+        session.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "BroadcastNestedLoopJoin" not in plan_nb, plan_nb
+    assert "CartesianProduct" not in plan_nb, plan_nb
+    shuffles = re.findall(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin)", plan_nb)
+    assert len(shuffles) == 1, plan_nb
+    assert "BroadcastHashJoin" not in plan_nb, plan_nb
