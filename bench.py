@@ -249,18 +249,24 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from ocr_api_spark.kernels.jpeg import decode_jpeg, encode_jpeg
     from ocr_api_spark.kernels.png import decode_png, encode_png
 
+    def best_rate(fn, reps: int, groups: int = 3) -> float:
+        # peak single-core capability: best of `groups` timed groups —
+        # one ambient scheduling blip must not masquerade as a codec
+        # regression (same reasoning as the steal gate)
+        best = 0.0
+        for _ in range(groups):
+            t0 = time.time()
+            for _ in range(reps):
+                fn()
+            best = max(best, reps / (time.time() - t0))
+        return round(best, 1)
+
     jb = encode_jpeg(scan, quality=85, progressive=True)
     decode_jpeg(jb)  # warm
-    t0 = time.time()
-    for _ in range(3):
-        decode_jpeg(jb)
-    extras["kernel_jpeg_decode_per_sec_core"] = round(3 / (time.time() - t0), 1)
+    extras["kernel_jpeg_decode_per_sec_core"] = best_rate(lambda: decode_jpeg(jb), 4)
     pb = encode_png(scan, filter_types=1)
     decode_png(pb)
-    t0 = time.time()
-    for _ in range(5):
-        decode_png(pb)
-    extras["kernel_png_decode_per_sec_core"] = round(5 / (time.time() - t0), 1)
+    extras["kernel_png_decode_per_sec_core"] = best_rate(lambda: decode_png(pb), 5)
 
     total = round(sum(timings.values()), 3)
     result = {

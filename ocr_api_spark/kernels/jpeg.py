@@ -585,6 +585,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         blk[0] = p
         ac_fast = ac_t.fast(False)
         ac_lut = ac_t.lut
+        ks: list[int] = []
+        vs: list[int] = []
         k = 1
         while k < 64:
             e = ac_fast[w16[pos]]
@@ -593,7 +595,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
                 k += (e >> 16) & 0x0F
                 if k > 63:
                     raise JpegError("AC run past block end")
-                blk[k] = (e & 0xFFFF) - 0x8000
+                ks.append(k)
+                vs.append((e & 0xFFFF) - 0x8000)
                 k += 1
                 continue
             entry = ac_lut[w16[pos]]
@@ -613,7 +616,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             if pos > nbits:
                 raise JpegError("entropy data exhausted")
             reader.pos = pos
-            blk[k] = _extend(reader.read_bits(s), s)
+            ks.append(k)
+            vs.append(_extend(reader.read_bits(s), s))
             pos = reader.pos
             k += 1
         # exhaustion check deferred to block end (w16 tail padding keeps
@@ -621,6 +625,14 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         if pos > nbits:
             raise JpegError("entropy data exhausted")
         reader.pos = pos
+        # batch the coefficient scatter: one fancy-index write beats
+        # per-coefficient numpy setitem ~2x for dense blocks; sparse
+        # blocks keep the cheap scalar path
+        if len(ks) > 10:
+            blk[ks] = vs
+        else:
+            for k, v in zip(ks, vs):
+                blk[k] = v
 
     def baseline_block_shift(blk, cid, dc_t, ac_t):
         # identical semantics over the 24-bit shift probe — only very
@@ -711,6 +723,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             return ac_first_block_shift(blk, ac_t)
         ac_fast = ac_t.fast(False)
         ac_lut = ac_t.lut
+        ks: list[int] = []
+        vs: list[int] = []
         k = ss
         while k <= se:
             e = ac_fast[w16[pos]]
@@ -719,7 +733,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
                 k += (e >> 16) & 0x0F
                 if k > se:
                     raise JpegError("AC run past band end")
-                blk[k] = ((e & 0xFFFF) - 0x8000) << al
+                ks.append(k)
+                vs.append(((e & 0xFFFF) - 0x8000) << al)
                 k += 1
                 continue
             entry = ac_lut[w16[pos]]
@@ -746,7 +761,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
             if pos > nbits:
                 raise JpegError("entropy data exhausted")
             reader.pos = pos
-            blk[k] = _extend(reader.read_bits(s), s) << al
+            ks.append(k)
+            vs.append(_extend(reader.read_bits(s), s) << al)
             pos = reader.pos
             k += 1
         # exhaustion check deferred to block end (w16 tail padding keeps
@@ -754,6 +770,12 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         if pos > nbits:
             raise JpegError("entropy data exhausted")
         reader.pos = pos
+        # batch the coefficient scatter (dense blocks), scalar for sparse
+        if len(ks) > 10:
+            blk[ks] = vs
+        else:
+            for k, v in zip(ks, vs):
+                blk[k] = v
 
     def ac_first_block_shift(blk, ac_t):
         pos = reader.pos
