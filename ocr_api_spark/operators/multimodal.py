@@ -51,14 +51,17 @@ class _Decoder:
     Backends, in order:
     - ``numpy``: payloads that parse as ``.npy`` arrays (H×W or H×W×C
       uint8) — the decoded-pixel interchange format.
-    - ``png``: real PNG bytes via the pure-numpy codec in
-      ``kernels/png.py`` (zlib inflate + row unfiltering), decoded to
-      the same cv2 BGR/BGRA convention ``cv2.imdecode`` yields in the
-      reference flow (app.py:419-443, 5099).
-    Both run the REAL preprocessing kernels (``kernels/image.py``:
-    alpha flatten → grayscale → the PAN pre-OCR chain) and emit real
-    image statistics as the feature vector.  JPEG's Huffman+DCT needs
-    cv2/PIL which this container lacks — the remaining honest gate.
+    - ``cv2.imdecode`` where OpenCV is installed (production): the
+      ~20-50x fast path for PNG/JPEG bytes, same pixel conventions.
+    - ``png``/``jpeg``: the pure-numpy codecs (``kernels/png.py``:
+      zlib inflate + row unfiltering, all depths + Adam7;
+      ``kernels/jpeg.py``: T.81 baseline + progressive) — the tested
+      fallback in this container, decoding to the same cv2 BGR/BGRA
+      convention ``cv2.imdecode`` yields in the reference flow
+      (app.py:419-443, 5099).
+    All pixel paths run the REAL preprocessing kernels
+    (``kernels/image.py``: alpha flatten → grayscale → the PAN pre-OCR
+    chain) and emit real image statistics as the feature vector.
     - ``fake``: anything else yields a deterministic md5-derived
       feature, so opaque test payloads still flow through the same
       batch shape."""
@@ -128,6 +131,27 @@ class _Decoder:
         return arr
 
     @classmethod
+    def _try_cv2(cls, payload: bytes):
+        """cv2.imdecode fast path where OpenCV is installed (production
+        executors): ~20-50x the pure-numpy codecs on the same bytes,
+        same BGR/BGRA/gray conventions.  Absent in this container —
+        the numpy codecs below are the tested fallback and the
+        determinism reference (skip-if-absent parity test)."""
+        try:  # pragma: no cover - cv2 not in this container
+            import cv2
+            import numpy as np
+        except ImportError:
+            return None
+        if payload is None or not (
+            payload.startswith(b"\x89PNG\r\n\x1a\n") or payload.startswith(b"\xff\xd8")
+        ):
+            return None
+        arr = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_UNCHANGED)
+        if arr is None or arr.ndim not in (2, 3) or arr.dtype != np.uint8 or arr.size == 0:
+            return None
+        return arr
+
+    @classmethod
     def _try_pixels(cls, payload: bytes):
         """(array, kind) for any decodable payload — 'numpy' | 'png' |
         'jpeg' — else (None, None).  Arrays follow the cv2 convention
@@ -135,6 +159,9 @@ class _Decoder:
         arr = cls._try_npy(payload)
         if arr is not None:
             return arr, "numpy"
+        cv2_arr = cls._try_cv2(payload)
+        if cv2_arr is not None:  # pragma: no cover - cv2 not in container
+            return cv2_arr, "png" if payload.startswith(b"\x89PNG") else "jpeg"
         arr = cls._try_png(payload)
         if arr is not None:
             return arr, "png"

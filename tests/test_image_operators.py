@@ -329,3 +329,28 @@ def test_pdf_raster_operator_statuses(session):
     assert out["two"]["n_pages"] == 2 and out["two"]["out_h"] == 30
     assert out["rej"]["raster_status"] == "reject_pages" and out["rej"]["image"] is None
     assert out["bad"]["raster_status"] == "bad_pdf" and out["bad"]["n_pages"] is None
+
+
+def test_cv2_fast_path_parity_when_installed():
+    """Where OpenCV exists (production executors), _Decoder routes
+    PNG/JPEG bytes through cv2.imdecode; lossless PNG must decode
+    pixel-identical to the numpy codec, and JPEG within IDCT rounding.
+    Skips in containers without cv2 (this one)."""
+    import numpy as np
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+
+    from ocr_api_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    from ocr_api_spark.kernels.png import encode_png
+    from ocr_api_spark.operators.multimodal import _Decoder
+
+    img = np.random.default_rng(5).integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    png_arr, kind = _Decoder._try_pixels(encode_png(img))
+    assert kind == "png" and np.array_equal(png_arr, img)
+
+    jb = encode_jpeg(img, quality=90)
+    jpg_arr, kind = _Decoder._try_pixels(jb)
+    assert kind == "jpeg" and jpg_arr.shape == img.shape
+    ours = decode_jpeg(jb)
+    assert np.abs(jpg_arr.astype(int) - ours.astype(int)).mean() < 3.0  # IDCT rounding only
