@@ -568,6 +568,126 @@ FROM documents
 """
 
 
+def _doc_gopher_quality(spark, sf_dir):
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1) — the
+    standard pre-training corpus filter, per-metric columns plus the
+    pass verdict, all JVM-side expressions."""
+    from ocr_api_spark.operators.textstats import with_gopher_quality
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return with_gopher_quality(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "g_n_words",
+        "g_mean_wlen",
+        "g_symbol_ratio",
+        "g_bullet_ratio",
+        "g_ellipsis_ratio",
+        "g_alpha_word_ratio",
+        "g_stop_hits",
+        F.col("gopher_pass").cast("boolean").alias("gopher_pass"),
+    )
+
+
+_DOC_GOPHER_SQL = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+m AS (
+  SELECT doc_id,
+    len(string_split(text, ' '))::BIGINT AS g_n_words,
+    greatest(len(string_split(text, chr(10))), 1)::BIGINT AS n_lines,
+    round((length(text) - len(string_split(text, ' ')) + 1)
+          / greatest(len(string_split(text, ' ')), 1), 4)::DOUBLE AS g_mean_wlen,
+    round(len(regexp_extract_all(text, '#|\.\.\.'))
+          / greatest(len(string_split(text, ' ')), 1), 4)::DOUBLE AS g_symbol_ratio,
+    len(list_filter(string_split(text, chr(10)),
+        x -> regexp_matches(x, '^\s*[-*•]')))::BIGINT AS n_bullet,
+    len(list_filter(string_split(text, chr(10)),
+        x -> regexp_matches(x, '\.\.\.\s*$')))::BIGINT AS n_ellipsis,
+    len(list_filter(string_split(text, ' '),
+        x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+    len(list_distinct(list_filter(string_split(lower(text), ' '),
+        x -> list_contains(['the','a','and','of','to','in','is'], x))))::BIGINT AS g_stop_hits
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id, g_n_words, g_mean_wlen, g_symbol_ratio,
+       round(n_bullet / n_lines, 4)::DOUBLE AS g_bullet_ratio,
+       round(n_ellipsis / n_lines, 4)::DOUBLE AS g_ellipsis_ratio,
+       round(n_alpha / greatest(g_n_words, 1), 4)::DOUBLE AS g_alpha_word_ratio,
+       g_stop_hits,
+       (g_n_words >= 5 AND g_n_words <= 100000
+        AND g_mean_wlen >= 2.0 AND g_mean_wlen <= 12.0
+        AND g_symbol_ratio <= 0.1
+        AND round(n_bullet / n_lines, 4) <= 0.9
+        AND round(n_ellipsis / n_lines, 4) <= 0.3
+        AND round(n_alpha / greatest(g_n_words, 1), 4) >= 0.7
+        AND g_stop_hits >= 2) AS gopher_pass
+FROM m
+"""
+
+
+_URL_EXPR_SQL = """
+concat(
+  CASE doc_id % 3 WHEN 0 THEN 'HTTP://WWW.' WHEN 1 THEN 'https://cdn.' ELSE 'HtTpS://' END,
+  upper(source), '.Example.COM',
+  CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':8443' ELSE ':443' END,
+  CASE WHEN doc_id % 2 = 0 THEN '' ELSE concat('/Docs/', doc_id) END,
+  CASE WHEN doc_id % 4 = 0 THEN concat('?b=2&a=1&c=', lang) ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+)"""
+
+
+def _doc_url_canonical(spark, sf_dir):
+    """URL canonicalization + url-hash partition keys over
+    deterministically synthesized crawler URLs (scheme/host case,
+    default ports, fragments, unsorted query params — every branch
+    exercised by the doc_id cycle).  The canonicalizer is regex-based
+    on purpose: the oracle evaluates the same patterns."""
+    from ocr_api_spark.operators.weburl import with_canonical_url, with_url_hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 240)
+    with_url = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr(_URL_EXPR_SQL).alias("url"),
+    )
+    return with_url_hash_bucket(with_canonical_url(with_url)).select(
+        "doc_id", "url", "canonical_url", "url_host", "url_bucket"
+    )
+
+
+_DOC_URL_SQL = rf"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, {_URL_EXPR_SQL} AS url
+  FROM documents WHERE doc_id < 240
+),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM d
+),
+c AS (
+  SELECT doc_id, url,
+    scheme || '://' ||
+    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+          ELSE hostport END) ||
+    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+    (CASE WHEN query <> '' THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+          ELSE '' END) AS canonical_url,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS url_host
+  FROM p
+)
+SELECT doc_id, url, canonical_url, url_host,
+       (((strpos('0123456789abcdef', substring(md5(canonical_url), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substring(md5(canonical_url), 2, 1)) - 1) % 64)::BIGINT
+         AS url_bucket
+FROM c
+"""
+
+
 def _doc_stopword_ratio(spark, sf_dir):
     from ocr_api_spark.operators.textstats import EN_STOP
 
@@ -2083,6 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_source_stats": _salted_source_stats,
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
+        "doc_gopher_quality": _doc_gopher_quality,
+        "doc_url_canonical": _doc_url_canonical,
         "doc_stopword_ratio": _doc_stopword_ratio,
         "doc_regex_scan": _doc_regex_scan,
         "doc_fingerprint_dedup": _doc_fingerprint_dedup,
@@ -2155,6 +2277,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_source_stats": _SALTED_SQL,
         "doc_token_stats": _DOC_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
+        "doc_gopher_quality": _DOC_GOPHER_SQL,
+        "doc_url_canonical": _DOC_URL_SQL,
         "doc_stopword_ratio": _DOC_STOPWORD_SQL,
         "doc_regex_scan": _DOC_REGEX_SQL,
         "doc_fingerprint_dedup": _DOC_DEDUP_SQL,

@@ -124,4 +124,65 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.col(text_col)))
 
 
+def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 —
+    the standard pre-training corpus filter), entirely JVM-side:
+
+    - word count in [5, 100000] (lower bound scaled from the paper's
+      50 for short-doc corpora; a parameterized pipeline would config it)
+    - mean word length in [2, 12]
+    - symbol-to-word ratio (# and ellipsis) ≤ 0.1
+    - ≤ 90% of lines start with a bullet, ≤ 30% end with an ellipsis
+    - ≥ 70% of words contain an alphabetic character
+    - ≥ 2 distinct English stopword hits
+
+    Emits each metric plus the ``gopher_pass`` verdict so downstream
+    filters stay explainable (a pipeline keeps the reject reason)."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("bigint")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("bigint")
+    mean_wlen = (F.length(F.col(text_col)) - n_words + 1) / F.greatest(n_words, F.lit(1))
+    n_symbols = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)).cast("bigint")
+    )
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    ).cast("bigint")
+    n_ellipsis = F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.\s*$"))).cast("bigint")
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: F.array_contains(stop_arr, t)))
+    ).cast("bigint")
+
+    out = (
+        df.withColumn("g_n_words", n_words)
+        .withColumn("g_mean_wlen", F.round(mean_wlen, 4).cast("double"))
+        .withColumn(
+            "g_symbol_ratio",
+            F.round(n_symbols / F.greatest(n_words, F.lit(1)), 4).cast("double"),
+        )
+        .withColumn("g_bullet_ratio", F.round(n_bullet / n_lines, 4).cast("double"))
+        .withColumn("g_ellipsis_ratio", F.round(n_ellipsis / n_lines, 4).cast("double"))
+        .withColumn(
+            "g_alpha_word_ratio",
+            F.round(n_alpha_words / F.greatest(n_words, F.lit(1)), 4).cast("double"),
+        )
+        .withColumn("g_stop_hits", n_stop_distinct)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("g_n_words") >= 5)
+        & (F.col("g_n_words") <= 100000)
+        & (F.col("g_mean_wlen") >= 2.0)
+        & (F.col("g_mean_wlen") <= 12.0)
+        & (F.col("g_symbol_ratio") <= 0.1)
+        & (F.col("g_bullet_ratio") <= 0.9)
+        & (F.col("g_ellipsis_ratio") <= 0.3)
+        & (F.col("g_alpha_word_ratio") >= 0.7)
+        & (F.col("g_stop_hits") >= 2),
+    )
+
+
 STOPWORD_SQL_EN = "', '".join(EN_STOP)
