@@ -354,3 +354,25 @@ def test_cv2_fast_path_parity_when_installed():
     assert kind == "jpeg" and jpg_arr.shape == img.shape
     ours = decode_jpeg(jb)
     assert np.abs(jpg_arr.astype(int) - ours.astype(int)).mean() < 3.0  # IDCT rounding only
+
+
+def test_pdf_raster_chains_into_preocr(session):
+    """The reference endpoint's full PDF branch, distributed: PDF bytes
+    -> pdf_raster (S3) -> .npy interchange -> preocr_chain (S10/C5 +
+    I1-I6) in two mapInPandas stages."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.operators.multimodal import pdf_raster, preocr_chain
+    from ocr_api_spark.sources.pdfraster import write_image_pdf
+
+    img = np.random.default_rng(9).integers(0, 256, (24, 32), dtype=np.uint8)
+    pdf = write_image_pdf([img, img], codec="jpeg")  # 2-page vertical merge
+    df = session.createDataFrame([("doc1", bytearray(pdf))], "url string, payload binary")
+    rastered = pdf_raster(df).where("raster_status = 'ok'").select("url", F.col("image").alias("payload"))
+    out = preocr_chain(rastered).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["chain_status"] == "ok"
+    # merged page is 48x32, x2 upscale -> 96x64
+    assert (row["out_h"], row["out_w"]) == (96, 64)
