@@ -624,6 +624,51 @@ FROM m
 """
 
 
+def _doc_repetition(spark, sf_dir):
+    """Gopher repetition filters: dup-line fraction (projection) and
+    top-bigram coverage (posexplode → partial count → per-doc max —
+    the linear shape; a nested HOF scan would be O(n²) per doc)."""
+    from ocr_api_spark.operators.textstats import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return repetition_signals(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "dup_line_frac",
+        "top_bigram_frac",
+    )
+
+
+_DOC_REPETITION_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, ' ') AS words
+  FROM d
+),
+stats AS (
+  SELECT doc_id,
+    round((greatest(len(lines), 1) - len(list_distinct(lines)))
+          / greatest(len(lines), 1), 4)::DOUBLE AS dup_line_frac,
+    greatest(len(words) - 1, 1)::BIGINT AS n_bigrams,
+    words
+  FROM base
+),
+bi AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram
+  FROM (SELECT doc_id, words, unnest(range(1, greatest(len(words), 1))) AS i FROM stats)
+),
+top AS (
+  SELECT doc_id, max(c) AS top_count FROM (
+    SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id::BIGINT AS doc_id, s.dup_line_frac,
+       round(coalesce(t.top_count, 0) / s.n_bigrams, 4)::DOUBLE AS top_bigram_frac
+FROM stats s LEFT JOIN top t USING (doc_id)
+"""
+
+
 _URL_EXPR_SQL = """
 concat(
   CASE doc_id % 3 WHEN 0 THEN 'HTTP://WWW.' WHEN 1 THEN 'https://cdn.' ELSE 'HtTpS://' END,
@@ -2204,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_gopher_quality": _doc_gopher_quality,
+        "doc_repetition": _doc_repetition,
         "doc_url_canonical": _doc_url_canonical,
         "doc_stopword_ratio": _doc_stopword_ratio,
         "doc_regex_scan": _doc_regex_scan,
@@ -2278,6 +2324,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _DOC_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_gopher_quality": _DOC_GOPHER_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
         "doc_url_canonical": _DOC_URL_SQL,
         "doc_stopword_ratio": _DOC_STOPWORD_SQL,
         "doc_regex_scan": _DOC_REGEX_SQL,

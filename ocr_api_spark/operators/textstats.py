@@ -124,6 +124,59 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.col(text_col)))
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher's repetition filters (Rae et al. 2021 §A1.1, the other
+    half of the quality gate): duplicate-line fraction and the fraction
+    of the document covered by its most frequent word bigram — boiler-
+    plate and spam light these up before any cross-doc dedup runs.
+
+    - ``dup_line_frac``   = 1 - distinct(lines)/lines (pure projection)
+    - ``top_bigram_frac`` = count(mode bigram) / bigram count, via
+      posexplode → per-(doc, bigram) partial count (map-side combine)
+      → per-doc max.  Deliberately NOT a nested higher-order-function
+      scan: a lambda that captures the bigram array re-evaluates the
+      whole chain per distinct element — O(n²) per document (measured
+      88 s on 16k-word docs in round 1).  The explode shape is
+      codegen'd, linear, and shuffles once on the id it already needs.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 4)
+        .cast("double")
+        .alias("dup_line_frac"),
+        F.greatest(F.size(bigrams), F.lit(1)).cast("bigint").alias("n_bigrams"),
+        bigrams.alias("__bigrams"),
+    )
+    top = (
+        base.select(id_col, F.explode("__bigrams").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_count"))
+    )
+    return (
+        base.drop("__bigrams")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.round(F.coalesce(F.col("top_count"), F.lit(0)) / F.col("n_bigrams"), 4)
+            .cast("double")
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1 —
     the standard pre-training corpus filter), entirely JVM-side:
