@@ -204,3 +204,46 @@ def test_stream_session_windows(session, synth, tmp_path):
     assert sum(r["docs"] for r in rows) == 120  # every event in exactly one session
     for r in rows:
         assert r["session_end"] > r["session_start"]
+
+
+def test_stream_quality_gate_matches_batch(session, tmp_path):
+    """Round-4 quality ops compose into Structured Streaming unchanged:
+    gopher rules + canonical URL are stateless projections, so a
+    readStream over the same files must emit exactly the batch result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.operators.textstats import with_gopher_quality
+    from ocr_api_spark.operators.weburl import with_canonical_url
+
+    docs = session.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    schema = session.read.parquet(src).schema
+
+    def gate(df):
+        with_url = df.withColumn(
+            "url", F.concat(F.lit("HTTPS://Example.com:443/d/"), F.col("doc_id"))
+        )
+        return with_canonical_url(with_gopher_quality(with_url)).select(
+            "doc_id", "gopher_pass", "canonical_url"
+        )
+
+    out = str(tmp_path / "out")
+    q = (
+        session.readStream.schema(schema)
+        .parquet(src)
+        .transform(gate)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(map(tuple, session.read.parquet(out).collect()))
+    want = sorted(map(tuple, gate(session.read.parquet(src)).collect()))
+    assert got == want and len(got) == 80
+    assert all(u.startswith("https://example.com/d/") for _, _, u in got)
