@@ -1785,6 +1785,65 @@ def _emb_ivf_topk(spark, sf_dir):
     )
 
 
+def _emb_pq_codes(spark, sf_dir):
+    """PQ encode: per-subspace nearest-codebook codes (the compressed
+    ANN index — 64 floats → 4 small ints per vector)."""
+    from ocr_api_spark.operators.pq import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+    )
+
+
+def _emb_pq_topk(spark, sf_dir):
+    """PQ search: ADC top-10 — the query→centroid lookup table ships as
+    literals, distance = 4 array lookups + adds over the codes alone."""
+    from ocr_api_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(pq_encode(emb), _QUERY_VEC, k=10).withColumn(
+        "vec_id", F.col("vec_id").cast("bigint")
+    )
+
+
+def _pq_codes_cte() -> str:
+    from ocr_api_spark.operators.pq import default_codebooks
+
+    books = default_codebooks()
+    dsub = len(books[0][0])
+    cols = []
+    for j, book in enumerate(books):
+        cents = ["[" + ", ".join(str(v) for v in c) + "]" for c in book]
+        sub = f"(embedding::DOUBLE[])[{j * dsub + 1}:{(j + 1) * dsub}]"
+        dlist = "[" + ", ".join(f"list_distance({sub}, {c})" for c in cents) + "]"
+        cols.append(f"(list_position({dlist}, list_min({dlist})) - 1)::INT AS code_{j}")
+    return "WITH codes AS (SELECT vec_id, " + ",\n  ".join(cols) + " FROM embeddings)"
+
+
+def _emb_pq_codes_sql() -> str:
+    return _pq_codes_cte() + """
+SELECT vec_id::BIGINT AS vec_id, code_0, code_1, code_2, code_3 FROM codes
+"""
+
+
+def _emb_pq_topk_sql() -> str:
+    from ocr_api_spark.operators.pq import adc_lut
+
+    lut = adc_lut(_QUERY_VEC)
+    terms = " + ".join(
+        "([" + ", ".join(str(v) for v in row) + f"])[code_{j} + 1]" for j, row in enumerate(lut)
+    )
+    return _pq_codes_cte() + f"""
+SELECT vec_id::BIGINT AS vec_id, round({terms}, 6)::DOUBLE AS adc_dist
+FROM codes ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def _ivf_assigned_cte() -> str:
     cents = ["[" + ", ".join(str(v) for v in c) + "]" for c in _IVF_CENTROIDS]
     dists = "[" + ", ".join(f"list_distance(embedding::DOUBLE[], {c})" for c in cents) + "]"
@@ -2260,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_sign_buckets": _emb_sign_buckets,
         "emb_ivf_lists": _emb_ivf_lists,
+        "emb_pq_codes": _emb_pq_codes,
+        "emb_pq_topk": _emb_pq_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_kmeans": _emb_ivf_kmeans,
         "img_decode_features": _img_decode_features,
@@ -2336,6 +2397,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": _emb_cosine_topk_sql(),
         "emb_sign_buckets": _EMB_BUCKETS_SQL,
         "emb_ivf_lists": _emb_ivf_lists_sql(),
+        "emb_pq_codes": _emb_pq_codes_sql(),
+        "emb_pq_topk": _emb_pq_topk_sql(),
         "emb_ivf_topk": _emb_ivf_topk_sql(),
         "emb_ivf_kmeans": _emb_kmeans_sql(),
         "img_decode_features": _img_features_sql(),

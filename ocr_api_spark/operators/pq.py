@@ -1,0 +1,116 @@
+"""Product quantization (PQ) — the memory-side ANN scale path
+(Jégou et al. 2011), complementing sign-LSH (hash buckets) and IVF
+(coarse partitions) in ``similarity.py``/``ivf.py``.
+
+Encode: split each embedding into ``m`` subvectors; store only the
+index of the nearest codebook centroid per subspace — 64-dim float
+vectors compress to ``m`` small ints, so a 10^12-row corpus's index
+fits in memory where raw vectors cannot.  Search (ADC): precompute the
+query→centroid distance lookup table per subspace (m×k Python floats,
+broadcast as literals), then a vector's approximate distance is m
+array lookups + adds — a pure JVM projection over the compact codes,
+no Python, no shuffle, TakeOrderedAndProject for top-k.
+
+Codebooks here are FIXED deterministic constants (the ``_IVF_CENTROIDS``
+precedent): production trains them with ``ivf.kmeans_lloyd`` per
+subspace (already engine-deterministic and exact-gated); the fixed
+codebooks keep the PQ math itself SQL-expressible for the DuckDB
+oracle.  Argmin ties break to the smallest code via struct-ordered
+``array_min`` — the same convention the oracle's ``list_position`` of
+the first minimum reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # centroids per codebook
+
+
+def default_codebooks(dims: int = 64, m: int = PQ_M, k: int = PQ_K) -> list:
+    """codebooks[j][c] = centroid vector for code c of subspace j:
+    ±(0.5 + 0.1·j) per bit of c on the subspace's first 3 dims, 0
+    elsewhere — exact decimal literals both engines parse identically."""
+    dsub = dims // m
+    amp = [round(0.5 + 0.1 * j, 1) for j in range(m)]
+    return [
+        [
+            [((amp[j] if (c >> d) & 1 else -amp[j]) if d < 3 else 0.0) for d in range(dsub)]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list | None = None, vec_col: str = "embedding"
+) -> DataFrame:
+    """One ``code_j`` int column per subspace (flat columns, not an
+    array — compact, prunable, and partition-key-able)."""
+    codebooks = codebooks if codebooks is not None else default_codebooks()
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    out = df
+    for j, book in enumerate(codebooks):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(float(x)) for x in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        out = out.withColumn(f"code_{j}", F.array_min(dists)["c"].cast("int"))
+    return out
+
+
+def adc_lut(query: list[float], codebooks: list | None = None) -> list[list[float]]:
+    """Asymmetric-distance lookup table: lut[j][c] = squared L2 between
+    the query's j-th subvector and codebook centroid c.  Computed
+    driver-side (m×k Python floats) and shipped as literals."""
+    codebooks = codebooks if codebooks is not None else default_codebooks()
+    dsub = len(codebooks[0][0])
+    lut = []
+    for j, book in enumerate(codebooks):
+        qsub = query[j * dsub : (j + 1) * dsub]
+        lut.append([sum((a - b) ** 2 for a, b in zip(qsub, cent)) for cent in book])
+    return lut
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC distance: m literal-array lookups + adds per row
+    over the code columns only (the raw vectors never load), then
+    TakeOrderedAndProject.  Ties break on the id for a stable order."""
+    lut = adc_lut(query, codebooks)
+    approx = None
+    for j, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]), F.col(f"code_{j}") + 1
+        )
+        approx = term if approx is None else approx + term
+    return (
+        codes_df.select(
+            F.col(id_col), F.round(approx, 6).cast("double").alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

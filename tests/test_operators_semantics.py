@@ -372,3 +372,46 @@ def test_bpe_operator_matches_kernel(session):
     got = {r["doc_id"]: r["bpe_merge_token_count"] for r in with_bpe_merge_token_count(df).collect()}
     tok = BpeTokenizer()
     assert got == {"d1": tok.count(rows[0][1]), "d2": tok.count(rows[1][1]), "d3": 0}
+
+
+def test_pq_encode_and_adc_semantics(session):
+    """PQ: codes are the per-subspace argmin; ADC distance equals the
+    codebook-space distance computed by hand; top-k ranks by it."""
+    from ocr_api_spark.operators.pq import adc_lut, default_codebooks, pq_adc_topk, pq_encode
+
+    books = default_codebooks()
+    dsub = len(books[0][0])
+    # vectors placed exactly on centroids -> codes are known
+    def vec_for(codes):
+        v = []
+        for j, c in enumerate(codes):
+            v.extend(books[j][c])
+        return [float(x) for x in v]
+
+    rows = [(1, vec_for([0, 1, 2, 3])), (2, vec_for([7, 6, 5, 4])), (3, vec_for([3, 3, 3, 3]))]
+    df = session.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+           for r in pq_encode(df).collect()}
+    assert got == {1: (0, 1, 2, 3), 2: (7, 6, 5, 4), 3: (3, 3, 3, 3)}
+
+    query = vec_for([0, 1, 2, 3])
+    lut = adc_lut(query)
+    top = pq_adc_topk(pq_encode(df), query, k=3).collect()
+    assert top[0]["vec_id"] == 1 and abs(top[0]["adc_dist"]) < 1e-9  # exact centroid hit
+    want2 = sum(lut[j][c] for j, c in enumerate([7, 6, 5, 4]))
+    got2 = {r["vec_id"]: r["adc_dist"] for r in top}[2]
+    assert abs(got2 - want2) < 1e-6
+
+
+def test_pq_adc_is_pure_projection(session):
+    """The ADC scan must stay a projection + TakeOrderedAndProject over
+    the code columns — no join, no Python, no exchange beyond top-k."""
+    from ocr_api_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = session.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = session._sc._jvm.PythonSQLUtils.explainString(
+        pq_adc_topk(pq_encode(emb), [0.1] * 64, k=5)._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    for bad in ("Join", "ArrowEvalPython", "BatchEvalPython", "Generate"):
+        assert bad not in plan, plan
