@@ -1785,6 +1785,31 @@ def _emb_ivf_topk(spark, sf_dir):
     )
 
 
+def _sketch_hll_registers(spark, sf_dir):
+    """Deterministic HyperLogLog registers over document texts —
+    md5-derived, so the oracle reproduces the sketch bit-for-bit
+    (Spark's own approx_count_distinct has an engine-private layout
+    that can't be checked or merged across systems)."""
+    from ocr_api_spark.operators.sketches import hll_register_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_register_rows(docs, "text").select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("register").cast("int").alias("register"),
+    )
+
+
+_SKETCH_HLL_SQL = """
+WITH h AS (
+  SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM documents
+)
+SELECT (h >> 52)::INT AS bucket,
+       max(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1))) END)::INT AS register
+FROM h GROUP BY 1
+"""
+
+
 def _emb_pq_codes(spark, sf_dir):
     """PQ encode: per-subspace nearest-codebook codes (the compressed
     ANN index — 64 floats → 4 small ints per vector)."""
@@ -2320,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sign_buckets": _emb_sign_buckets,
         "emb_ivf_lists": _emb_ivf_lists,
         "emb_pq_codes": _emb_pq_codes,
+        "sketch_hll_registers": _sketch_hll_registers,
         "emb_pq_topk": _emb_pq_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_kmeans": _emb_ivf_kmeans,
@@ -2398,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_sign_buckets": _EMB_BUCKETS_SQL,
         "emb_ivf_lists": _emb_ivf_lists_sql(),
         "emb_pq_codes": _emb_pq_codes_sql(),
+        "sketch_hll_registers": _SKETCH_HLL_SQL,
         "emb_pq_topk": _emb_pq_topk_sql(),
         "emb_ivf_topk": _emb_ivf_topk_sql(),
         "emb_ivf_kmeans": _emb_kmeans_sql(),

@@ -415,3 +415,29 @@ def test_pq_adc_is_pure_projection(session):
     assert "TakeOrderedAndProject" in plan, plan
     for bad in ("Join", "ArrowEvalPython", "BatchEvalPython", "Generate"):
         assert bad not in plan, plan
+
+
+def test_hll_estimate_accuracy_and_merge(session):
+    """HLL over known-cardinality data: estimate within the sketch's
+    error band, and the union of two sketches (element-wise max) equals
+    the sketch of the union — the mergeability a distributed run needs."""
+    from ocr_api_spark.operators.sketches import hll_estimate, hll_merge, hll_register_rows
+
+    vals = [(f"value-{i}",) for i in range(2000)]
+    df = session.createDataFrame(vals, "v string")
+    regs = [(r["bucket"], r["register"]) for r in hll_register_rows(df, "v").collect()]
+    est = hll_estimate(regs)
+    assert abs(est - 2000) / 2000 < 0.2  # rse(m=256) = 6.5%; 3-sigma band
+
+    # duplicates must not move the sketch
+    dup = session.createDataFrame(vals * 3, "v string")
+    regs_dup = sorted((r["bucket"], r["register"]) for r in hll_register_rows(dup, "v").collect())
+    assert regs_dup == sorted(regs)
+
+    # merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    a = session.createDataFrame(vals[:1200], "v string")
+    b = session.createDataFrame(vals[800:], "v string")
+    ra = [(r["bucket"], r["register"]) for r in hll_register_rows(a, "v").collect()]
+    rb = [(r["bucket"], r["register"]) for r in hll_register_rows(b, "v").collect()]
+    merged = hll_merge(ra, rb)
+    assert merged == dict(regs)
