@@ -842,6 +842,62 @@ WHERE round(o.overlap / (sa.n_sh + sb.n_sh - o.overlap), 4) >= 0.01
 """
 
 
+def _doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING (pairs → components → canonical id): exact
+    jaccard pairs over the first 40 docs, then deterministic min-label
+    connected components — every doc labeled with its component's
+    smallest id; singletons keep themselves.  The iterative Spark
+    fixpoint must match DuckDB's recursive-CTE transitive closure."""
+    from ocr_api_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    pairs = ngram_jaccard_pairs(docs, "text", 3).where(F.col("jaccard") >= 0.01)
+    cc = connected_components(pairs, docs)
+    return cc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+_DOC_CLUSTERS_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 40
+),
+idx AS (
+  SELECT doc_id, words, unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS i FROM words
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM idx WHERE length(array_to_string(words[i:i+2], ' ')) > 0
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS overlap
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT o.id_a, o.id_b
+  FROM overlap o JOIN sizes sa ON sa.doc_id = o.id_a JOIN sizes sb ON sb.doc_id = o.id_b
+  WHERE round(o.overlap / (sa.n_sh + sb.n_sh - o.overlap), 4) >= 0.01
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+cc AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM words
+  UNION
+  SELECT e.src AS id, cc.lbl FROM edges e JOIN cc ON cc.id = e.dst
+)
+SELECT id::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster_id,
+       (id = min(lbl)) AS is_canonical
+FROM cc GROUP BY id
+"""
+
+
 def _doc_minhash_lsh(spark, sf_dir):
     """MinHash+LSH with signatures as a pure projection (array fold, no
     shingle explode) — the band self-join is the plan's only shuffle."""
@@ -2341,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_levenshtein": _doc_levenshtein,
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_minhash_lsh": _doc_minhash_lsh,
+        "doc_dedup_clusters": _doc_dedup_clusters,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_sign_buckets": _emb_sign_buckets,
         "emb_ivf_lists": _emb_ivf_lists,
@@ -2419,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_levenshtein": _DOC_LEV_SQL,
         "doc_ngram_jaccard": _DOC_JACCARD_SQL,
         "doc_minhash_lsh": _DOC_MINHASH_SQL,
+        "doc_dedup_clusters": _DOC_CLUSTERS_SQL,
         "doc_spans": _DOC_SPANS_SQL,
         "emb_cosine_topk": _emb_cosine_topk_sql(),
         "emb_sign_buckets": _EMB_BUCKETS_SQL,

@@ -294,3 +294,64 @@ def simhash64(df: DataFrame, text_col: str, n: int = 3, id_col: str = "doc_id") 
     for i in range(4):
         out = out.withColumn(f"band{i}", F.substring("simhash", 16 * i + 1, 16))
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Cluster near-dup pairs into components — the step between pair
+    generation and "keep one doc per cluster" that an actual dedup run
+    needs.  Deterministic min-label propagation: every node starts as
+    its own label; each round takes the min over its neighbours'
+    labels; fixpoint (checked, not assumed) assigns every member the
+    component's smallest id as ``cluster_id``.
+
+    Rounds needed = component diameter.  Near-dup clusters are
+    shallow (copies of one source document — diameter 2-3), so this
+    converges in a handful of bounded-shuffle rounds at any corpus
+    size; a pathological chain corpus would want the O(log n)
+    small-star/large-star variant, which this API admits as a drop-in.
+    Nodes absent from every pair keep themselves as singletons
+    (``cluster_id = doc_id``)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(F.col(node_col).alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(node_col), F.col("lbl").alias("cluster_id"))

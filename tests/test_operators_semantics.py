@@ -441,3 +441,18 @@ def test_hll_estimate_accuracy_and_merge(session):
     rb = [(r["bucket"], r["register"]) for r in hll_register_rows(b, "v").collect()]
     merged = hll_merge(ra, rb)
     assert merged == dict(regs)
+
+
+def test_connected_components_chain_and_singletons(session):
+    """Min-label CC: a 5-node chain collapses to its smallest id (needs
+    several propagation rounds — the fixpoint check, not an iteration
+    guess), disjoint clusters stay separate, pairless nodes stay
+    singletons."""
+    from ocr_api_spark.operators.dedup import connected_components
+
+    pairs = session.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12)], "id_a int, id_b int"
+    )
+    nodes = session.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]], "doc_id int")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
