@@ -130,3 +130,27 @@ def test_pdf_flate_bomb_rejected():
     )
     with pytest.raises(MiniPdfError, match="size bound"):
         parse_pdf(pdf)
+
+
+def test_pdfraster_corruption_never_escapes():
+    """The raster path walks object graphs, filter chains, AND image
+    codecs — corruption anywhere must surface as MiniPdfError or decode
+    gracefully, never another exception through the pdf_raster task."""
+    from ocr_api_spark.sources.pdfraster import convert_pdf_to_image, write_image_pdf
+
+    rng = np.random.default_rng(zlib.crc32(b"pdfraster"))
+    base_img = rng.integers(0, 256, (20, 28, 3), dtype=np.uint8)
+    for codec in ("jpeg", "flate", "lzw"):
+        data = write_image_pdf([base_img, base_img], codec=codec)
+        escaped = []
+        for trial in range(150):
+            b = bytearray(data)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            try:
+                convert_pdf_to_image(bytes(b))
+            except MiniPdfError:
+                pass
+            except Exception as e:  # noqa: BLE001 - the point of the test
+                escaped.append((codec, trial, type(e).__name__, str(e)[:60]))
+        assert not escaped, escaped[:5]
