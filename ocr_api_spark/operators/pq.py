@@ -44,6 +44,36 @@ def default_codebooks(dims: int = 64, m: int = PQ_M, k: int = PQ_K) -> list:
     ]
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Train per-subspace codebooks with the engine-deterministic
+    ``kmeans_lloyd`` (decimal-exact centroid means, no RNG, ties to the
+    smallest id — see ivf.py): slice the corpus into ``m`` subvector
+    tables and run one bounded k-means each.  The result plugs straight
+    into ``pq_encode``/``pq_adc_topk``; determinism means a re-train on
+    the same snapshot reproduces the same codebooks bit-for-bit, so
+    incremental re-encodes never mix codebook generations silently."""
+    from ocr_api_spark.operators.ivf import kmeans_lloyd
+
+    dims = len(df.select(vec_col).first()[0])
+    dsub = dims // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub).alias(vec_col),
+        )
+        _assigned, centroids = kmeans_lloyd(sub, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+        books.append(centroids)
+    return books
+
+
 def pq_encode(
     df: DataFrame, codebooks: list | None = None, vec_col: str = "embedding"
 ) -> DataFrame:

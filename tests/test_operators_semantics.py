@@ -456,3 +456,33 @@ def test_connected_components_chain_and_singletons(session):
     nodes = session.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]], "doc_id int")
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_pq_trained_codebooks_deterministic_and_useful(session):
+    """The production PQ path: per-subspace kmeans_lloyd codebooks —
+    re-training reproduces them bit-for-bit, and trained-ADC distances
+    separate true near neighbours from random rows."""
+    from ocr_api_spark.operators.pq import adc_lut, pq_adc_topk, pq_encode, pq_train
+
+    emb = session.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books1 = pq_train(emb, m=4, k=4, iters=2)
+    books2 = pq_train(emb, m=4, k=4, iters=2)
+    assert books1 == books2  # engine-deterministic training
+    assert len(books1) == 4 and all(len(b) == 4 for b in books1)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    query = [float(v) for v in rows[0]["embedding"]]
+    codes = pq_encode(emb, books1)
+    top = pq_adc_topk(codes, query, k=10, codebooks=books1).collect()
+    # the query IS a database vector: its own row must score at the
+    # minimum ADC distance (quantization maps query and row to the
+    # same cell distances)
+    best = min(r["adc_dist"] for r in top)
+    self_row = [r for r in top if r["vec_id"] == rows[0]["vec_id"]]
+    assert self_row and abs(self_row[0]["adc_dist"] - best) < 1e-9
+    # trained ADC beats random ordering: top-10 mean << corpus mean
+    lut = adc_lut(query, books1)
+    all_codes = codes.select("vec_id", "code_0", "code_1", "code_2", "code_3").collect()
+    dists = [sum(lut[j][r[f"code_{j}"]] for j in range(4)) for r in all_codes]
+    top_mean = sum(r["adc_dist"] for r in top) / len(top)
+    assert top_mean < sum(dists) / len(dists)
