@@ -708,7 +708,7 @@ p AS (
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS hostport,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path0,
-    regexp_extract(url, '\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query
   FROM d
 ),
 c AS (

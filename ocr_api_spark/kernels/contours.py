@@ -283,10 +283,15 @@ def area_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return out[..., 0] if img.ndim == 2 else out
 
 
-def _bilinear_sample(img: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """Bilinear gather at float coordinates; out-of-range samples clamp
-    to the border (cv2 warpAffine's default is constant-0 — the callers
-    only read ROIs that the rect geometry keeps in range)."""
+def _bilinear_sample(
+    img: np.ndarray, xs: np.ndarray, ys: np.ndarray, fill: float | None = None
+) -> np.ndarray:
+    """Bilinear gather at float coordinates.  ``fill=None`` replicates
+    the border (cv2.getRectSubPix semantics); a float fills fully
+    out-of-range samples with that constant (cv2.warpAffine's default
+    BORDER_CONSTANT 0 — review r4: the ROI expansion routinely leaves
+    the image, and clamping to white paper where cv2 writes black
+    flipped the touch tests near edges)."""
     h, w = img.shape
     x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
     y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
@@ -297,13 +302,20 @@ def _bilinear_sample(img: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndar
     g = img.astype(np.float64)
     top = g[y0, x0] * (1 - fx) + g[y0, x1] * fx
     bot = g[y1, x0] * (1 - fx) + g[y1, x1] * fx
-    return top * (1 - fy) + bot * fy
+    out = top * (1 - fy) + bot * fy
+    if fill is not None:
+        # cv2 BORDER_CONSTANT: any sample whose 2x2 support lies fully
+        # outside gets the constant; partial overlap blends with it
+        outside = (xs < -1) | (xs > w) | (ys < -1) | (ys > h)
+        out = np.where(outside, fill, out)
+    return out
 
 
 def warp_rotate(gray: np.ndarray, center: tuple[float, float], angle_deg: float) -> np.ndarray:
     """Rotate by ``angle_deg`` about ``center`` (cv2.getRotationMatrix2D
     convention: positive angle = counter-clockwise in y-down image
-    coordinates), same output size, bilinear sampling."""
+    coordinates), same output size, bilinear sampling, rotated-out
+    regions constant-0 like cv2.warpAffine's default border."""
     h, w = gray.shape
     a = math.radians(angle_deg)
     ca, sa = math.cos(a), math.sin(a)
@@ -312,7 +324,7 @@ def warp_rotate(gray: np.ndarray, center: tuple[float, float], angle_deg: float)
     # inverse map: dest → src is the opposite rotation
     sx = center[0] + ca * dx - sa * dy
     sy = center[1] + sa * dx + ca * dy
-    out = _bilinear_sample(gray, sx, sy)
+    out = _bilinear_sample(gray, sx, sy, fill=0.0)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 

@@ -167,6 +167,12 @@ def _build_huffman_decoder(counts: list[int], symbols: list[int]) -> dict[tuple[
 
 
 _FAST_LUT_CACHE: dict[tuple, list] = {}
+# bound the cache: standard Annex K tables dominate real corpora, but a
+# corpus of optimize_coding JPEGs carries per-image tables — each LUT is
+# a 65536-entry list (~0.5 MB), so unbounded growth would OOM a
+# long-lived executor.  FIFO eviction; per-image tables then rebuild per
+# image (a few ms, amortized against the decode itself).
+_FAST_LUT_CACHE_MAX = 64
 
 
 def _build_fast_lut(codes: dict[tuple[int, int], int], is_dc: bool) -> list[int]:
@@ -224,6 +230,8 @@ class _HuffTable:
             key = (self._key, is_dc)
             f = _FAST_LUT_CACHE.get(key)
             if f is None:
+                while len(_FAST_LUT_CACHE) >= _FAST_LUT_CACHE_MAX:
+                    _FAST_LUT_CACHE.pop(next(iter(_FAST_LUT_CACHE)))
                 f = _FAST_LUT_CACHE[key] = _build_fast_lut(self.codes, is_dc)
             self._fast[is_dc] = f
         return f

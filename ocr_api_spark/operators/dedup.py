@@ -353,5 +353,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhaustion is NOT convergence: silently returning intermediate
+        # labels would split one real cluster into several 'canonical'
+        # docs with no signal.  A component's diameter exceeding
+        # max_iters means the corpus isn't the shallow near-dup shape —
+        # fail loudly and let the caller raise the budget.
+        edges.unpersist()
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters"
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias(node_col), F.col("lbl").alias("cluster_id"))

@@ -266,6 +266,8 @@ def pdf_raster(df: DataFrame, payload_col: str = "payload", dpi: int = 300) -> D
             for url, payload in zip(pdf_batch["url"], pdf_batch[payload_col]):
                 out["url"].append(url)
                 try:
+                    if payload is None:
+                        raise MiniPdfError("NULL payload")
                     pages = rasterize_pdf_pages(bytes(payload), dpi=dpi)
                     merged = merge_pages(pages)
                 except MiniPdfError:

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the '?' must occur BEFORE any '#': a '?' inside the fragment
+# (SPA-style '#/route?tab=1') is fragment content, not a query
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -8,6 +8,12 @@ serializes the section; a hard-killed holder's lock is broken by age
 via an atomic RENAME claim, so exactly one of several concurrent
 breakers wins (remove+create has a TOCTOU admitting two).
 
+Ownership tokens close the break-races-release hole (review r4): a
+slow-but-alive holder whose lock was broken by TTL must NOT delete the
+NEW holder's lock in its cleanup — ``release`` unlinks only when the
+file still carries the caller's own token, so the stale holder's
+release becomes a no-op and the new holder's section stays protected.
+
 A lock older than the TTL whose holder is genuinely still alive is the
 documented operational limit of file locks — set ``ttl_sec`` above the
 worst-case section time.  On Iceberg proper the catalog's atomic
@@ -21,32 +27,35 @@ import time
 import uuid
 
 
-def try_acquire(lock_path: str, ttl_sec: float = 3600.0) -> bool:
-    """Try to take the lock; break-by-age a stale one.  Returns False
-    when the lock is live and held by someone else."""
+def try_acquire(lock_path: str, ttl_sec: float = 3600.0) -> str | None:
+    """Try to take the lock; break-by-age a stale one.  Returns the
+    ownership token on success (pass it to ``release``), None when the
+    lock is live and held by someone else."""
 
-    def _open() -> bool:
+    def _open() -> str | None:
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            return False
-        os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            return None
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        os.write(fd, token.encode())
         os.close(fd)
-        return True
+        return token
 
-    if _open():
-        return True
+    token = _open()
+    if token is not None:
+        return token
     try:
         stale = time.time() - os.path.getmtime(lock_path) > ttl_sec
     except FileNotFoundError:
         stale = False  # holder just released it: treat as contended
     if not stale:
-        return False
+        return None
     claim = lock_path + f".broken-{uuid.uuid4().hex[:8]}"
     try:
         os.rename(lock_path, claim)
     except FileNotFoundError:  # lost the claim race
-        return False
+        return None
     try:
         os.remove(claim)
     except FileNotFoundError:
@@ -54,7 +63,16 @@ def try_acquire(lock_path: str, ttl_sec: float = 3600.0) -> bool:
     return _open()
 
 
-def release(lock_path: str) -> None:
+def release(lock_path: str, token: str) -> None:
+    """Unlink the lock only if it is still OURS: after a break-by-age,
+    the original holder's release must not remove the new holder's
+    lock."""
+    try:
+        with open(lock_path, "rb") as f:
+            if f.read().decode("utf-8", "replace") != token:
+                return  # broken and re-acquired by someone else
+    except OSError:
+        return
     try:
         os.remove(lock_path)
     except FileNotFoundError:

@@ -140,7 +140,8 @@ def compact_bucket(
     lock_path = os.path.join(bucket_dir, ".compact.lock")
     # stale-lock break-by-age with an atomic rename claim lives in
     # plans/locks.py (shared with the credits-merge section)
-    if not locks.try_acquire(lock_path, ttl_sec=lock_ttl_sec):
+    lock_token = locks.try_acquire(lock_path, ttl_sec=lock_ttl_sec)
+    if lock_token is None:
         return {"bucket": bucket, "compacted": False, "reason": "locked"}
     try:
         old = [
@@ -192,7 +193,7 @@ def compact_bucket(
             "files_after": len(new_rel),
         }
     finally:
-        locks.release(lock_path)
+        locks.release(lock_path, lock_token)
 
 
 def gc_orphans(out_dir: str, min_age_sec: float = 3600.0) -> list[str]:

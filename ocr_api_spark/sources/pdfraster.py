@@ -36,13 +36,20 @@ import numpy as np
 from ocr_api_spark.sources.pdftext import (
     MiniPdfError,
     _CONTENTS_RE,
-    _MEDIABOX_RE,
     _decode_stream,
     _expand_object_streams,
     _page_order,
     _scan_objects,
 )
 
+# all four MediaBox coordinates, sign included: the box may have a
+# nonzero (even negative) origin, and assuming [0 0 w h] shifts every
+# placement in the y-flip (review r4)
+_MEDIABOX4_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s*\]"
+)
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
 _NAME_REF_RE = re.compile(rb"/([^\s/\[\]()<>]+)\s+(\d+)\s+\d+\s+R")
 _WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
@@ -189,6 +196,38 @@ def rasterize_pdf_pages(data: bytes, dpi: int = 300) -> list[np.ndarray]:
         raise MiniPdfError(f"malformed PDF: {type(e).__name__}: {e}") from e
 
 
+def _xobjects_of(objects: dict, page_num: int, hdr: bytes) -> dict[str, int]:
+    """The page's /XObject name→ref map, resolving the three spellings
+    real writers use (review r4): /Resources inline in the page dict,
+    /Resources as an indirect reference, and /Resources inherited from
+    an ancestor /Pages node (scanner output very commonly puts one
+    shared resource dict on the root Pages)."""
+    seen: set[int] = set()
+    num: int | None = page_num
+    body: bytes | None = hdr
+    while body is not None:
+        search_in = [body]
+        rm = _RESOURCES_REF_RE.search(body)
+        if rm and int(rm.group(1)) in objects:
+            search_in.append(objects[int(rm.group(1))][0])
+        for src in search_in:
+            xm = _XOBJ_DICT_RE.search(src)
+            if xm:
+                return {
+                    name.decode("latin-1"): int(ref)
+                    for name, ref in _NAME_REF_RE.findall(xm.group(1))
+                }
+        pm = _PARENT_RE.search(body)
+        if not pm:
+            break
+        num = int(pm.group(1))
+        if num in seen or num not in objects:  # cycle / dangling parent
+            break
+        seen.add(num)
+        body = objects[num][0]
+    return {}
+
+
 def _rasterize(data: bytes, dpi: int) -> list[np.ndarray]:
     if not data.startswith(b"%PDF"):
         raise MiniPdfError("not a PDF payload")
@@ -203,20 +242,20 @@ def _rasterize(data: bytes, dpi: int) -> list[np.ndarray]:
     pages: list[np.ndarray] = []
     for num in _page_order(objects, page_nums):
         hdr, _ = objects[num]
-        mb = _MEDIABOX_RE.search(hdr)
-        mb_w, mb_h = (float(mb.group(3)), float(mb.group(4))) if mb else (612.0, 792.0)
+        mb = _MEDIABOX4_RE.search(hdr)
+        if mb:
+            mb_x0, mb_y0, mb_x1, mb_y1 = (float(mb.group(i)) for i in range(1, 5))
+        else:
+            mb_x0, mb_y0, mb_x1, mb_y1 = 0.0, 0.0, 612.0, 792.0
+        mb_w, mb_h = mb_x1 - mb_x0, mb_y1 - mb_y0
+        if mb_w <= 0 or mb_h <= 0:
+            raise MiniPdfError("degenerate /MediaBox")
         cw, ch = max(1, round(mb_w * scale)), max(1, round(mb_h * scale))
         if cw * ch > _MAX_CANVAS_PIXELS:
             raise MiniPdfError(f"page canvas {cw}x{ch} exceeds the pixel cap")
         canvas = np.full((ch, cw, 3), 255, dtype=np.uint8)
 
-        xobjects: dict[str, int] = {}
-        xm = _XOBJ_DICT_RE.search(hdr)
-        if xm:
-            xobjects = {
-                name.decode("latin-1"): int(ref)
-                for name, ref in _NAME_REF_RE.findall(xm.group(1))
-            }
+        xobjects = _xobjects_of(objects, num, hdr)
         cm_match = _CONTENTS_RE.search(hdr)
         if cm_match and int(cm_match.group(1)) in objects and xobjects:
             content_hdr, content_raw = objects[int(cm_match.group(1))]
@@ -236,11 +275,12 @@ def _rasterize(data: bytes, dpi: int) -> list[np.ndarray]:
                 if b != 0.0 or c != 0.0 or a <= 0.0 or d <= 0.0:
                     raise MiniPdfError("unsupported (non-axis-aligned) image CTM")
                 img = _decode_image_xobject(x_hdr, x_raw)
-                # unit square → placement rect; PDF y-up, canvas row 0 = top
-                x0 = round(e * scale)
-                x1 = round((e + a) * scale)
-                y0 = round((mb_h - f - d) * scale)
-                y1 = round((mb_h - f) * scale)
+                # unit square → placement rect, in MediaBox-origin
+                # device coordinates; PDF y-up, canvas row 0 = top
+                x0 = round((e - mb_x0) * scale)
+                x1 = round((e + a - mb_x0) * scale)
+                y0 = round((mb_y1 - f - d) * scale)
+                y1 = round((mb_y1 - f) * scale)
                 if x1 <= x0 or y1 <= y0:
                     continue
                 placed = _resample_nearest(img, y1 - y0, x1 - x0)

@@ -117,12 +117,17 @@ def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
 _TOKEN_RE = re.compile(
     rb"(\()|(<[0-9A-Fa-f\s]*>)|(/[^\s/\[\]()<>]+)|(\[)|(\])|(-?\d*\.?\d+)|(BT|ET|Tf|Td|TD|Tm|TL|T\*|Tj|TJ|')|(BI\b)"
 )
-# EI must follow whitespace AND come after the ID keyword: inline-image
-# binary bytes between BI..ID are dict tokens, but the sample data after
-# ID can spell anything — including a whitespace-delimited 'EI' — so the
-# skip anchors on ID first and demands whitespace on both sides of EI
+# EI must come after the ID keyword: inline-image binary bytes between
+# BI..ID are dict tokens, but the sample data after ID can spell
+# anything — including a whitespace-delimited 'EI' — so the skip
+# anchors on ID first and prefers a whitespace-delimited EI (the
+# conventional form).  Whitespace before EI is conventional but NOT
+# required by the spec, so when no such terminator exists the abutting
+# form \bEI is the fallback — dropping it entirely would silently eat
+# every text span after an abutting-EI image (review r4).
 _INLINE_IMG_ID_RE = re.compile(rb"\bID[\s]")
 _INLINE_IMG_END_RE = re.compile(rb"(?<=[\s])EI(?=\s|$)")
+_INLINE_IMG_END_FALLBACK_RE = re.compile(rb"\bEI(?=\s|$)")
 
 
 def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
@@ -149,7 +154,10 @@ def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
         if m.group(8):  # BI: inline image — its binary body can spell
             # anything (fake strings/ops); skip wholesale past ID → EI
             idm = _INLINE_IMG_ID_RE.search(stream, i)
-            em = _INLINE_IMG_END_RE.search(stream, idm.end() if idm else i)
+            start = idm.end() if idm else i
+            em = _INLINE_IMG_END_RE.search(stream, start)
+            if em is None:  # spec-legal EI abutting the image data
+                em = _INLINE_IMG_END_FALLBACK_RE.search(stream, start)
             i = em.end() if em else len(stream)
             stack.clear()
             continue

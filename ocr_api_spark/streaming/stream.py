@@ -155,6 +155,12 @@ def credits_ledger_stream(claims: DataFrame, initial_credits: int = 1000) -> Dat
     )
 
 
+# contention wait: a credits merge is sub-second; 30 x 2 s outlasts any
+# live holder by orders of magnitude without stalling the stream forever
+_MERGE_LOCK_ATTEMPTS = 30
+_MERGE_LOCK_WAIT_SEC = 2.0
+
+
 def merge_credits_batch(
     spark: SparkSession,
     accounts_path: str,
@@ -183,19 +189,32 @@ def merge_credits_batch(
     streams merging into the same accounts table are an unlocked
     read-modify-write — both read the snapshot, both ``os.replace`` it,
     and the loser's decrement AND watermark silently vanish (lost
-    update).  The lock serializes writers; break-by-age handles a
-    hard-killed holder (plans/locks.py).  Returns whether the batch was
-    applied; raises ``BlockingIOError`` when the lock is contended so
-    foreachBatch retries the batch instead of silently dropping it."""
+    update).  The lock serializes writers with a bounded backoff WAIT
+    on contention — an exception out of a foreachBatch function
+    TERMINATES the streaming query (Spark does not retry the
+    micro-batch), so the routine two-live-streams collision must block
+    briefly, not kill a stream (review r4).  Only exhausting the wait
+    (holder wedged far beyond a merge's duration) raises
+    ``BlockingIOError``, which is then a real operational fault.
+    Break-by-age handles a hard-killed holder (plans/locks.py).
+    Returns whether the batch was applied."""
+    import time as _time
+
     from ocr_api_spark.plans import locks
 
     lock_path = accounts_path + ".merge.lock"
-    if not locks.try_acquire(lock_path):
+    token = None
+    for attempt in range(_MERGE_LOCK_ATTEMPTS):
+        token = locks.try_acquire(lock_path)
+        if token is not None:
+            break
+        _time.sleep(_MERGE_LOCK_WAIT_SEC)
+    if token is None:
         raise BlockingIOError(f"accounts merge lock contended: {lock_path}")
     try:
         return _merge_credits_batch_locked(spark, accounts_path, batch_df, batch_id, run_id)
     finally:
-        locks.release(lock_path)
+        locks.release(lock_path, token)
 
 
 def _merge_credits_batch_locked(

@@ -198,16 +198,22 @@ def test_credits_merge_concurrent_runs_interleaved(session, tmp_path):
     assert bal() == 14
 
 
-def test_credits_merge_lock_serializes_writers(session, tmp_path):
+def test_credits_merge_lock_serializes_writers(session, tmp_path, monkeypatch):
     """ADVICE r3: the read->decrement->replace section holds an O_EXCL
-    lock; a live contender is refused loudly (so foreachBatch retries)
-    and a stale lock from a hard-killed holder is broken by age."""
+    lock; a live contender WAITS with bounded backoff (an exception
+    from foreachBatch would kill the streaming query) and only raises
+    when the wait is exhausted; a stale lock from a hard-killed holder
+    is broken by age."""
     import os
 
     import pandas as pd
     import pytest
 
+    from ocr_api_spark import streaming
     from ocr_api_spark.streaming.stream import merge_credits_batch
+
+    monkeypatch.setattr(streaming.stream, "_MERGE_LOCK_ATTEMPTS", 3)
+    monkeypatch.setattr(streaming.stream, "_MERGE_LOCK_WAIT_SEC", 0.05)
 
     accounts_path = str(tmp_path / "accounts.parquet")
     pd.DataFrame(
@@ -234,3 +240,23 @@ def test_credits_merge_lock_serializes_writers(session, tmp_path):
     assert merge_credits_batch(session, accounts_path, batch, 0) is True
     assert session.read.parquet(accounts_path).collect()[0]["credits_left"] == 9
     assert not os.path.exists(lock_path)  # released on the way out
+
+
+def test_lock_release_checks_ownership(tmp_path):
+    """Review r4: a slow holder whose lock was broken by age must not
+    delete the NEW holder's lock on its way out — release is a no-op
+    unless the file still carries the caller's own token."""
+    import os
+
+    from ocr_api_spark.plans import locks
+
+    lock = str(tmp_path / "x.lock")
+    old_token = locks.try_acquire(lock)
+    assert old_token is not None
+    os.utime(lock, (0, 0))  # holder stalls past the TTL
+    new_token = locks.try_acquire(lock, ttl_sec=1.0)  # breaker wins
+    assert new_token is not None and new_token != old_token
+    locks.release(lock, old_token)  # stale holder's cleanup: no-op
+    assert os.path.exists(lock)
+    locks.release(lock, new_token)  # real owner releases
+    assert not os.path.exists(lock)

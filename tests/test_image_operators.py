@@ -376,3 +376,20 @@ def test_pdf_raster_chains_into_preocr(session):
     assert row["chain_status"] == "ok"
     # merged page is 48x32, x2 upscale -> 96x64
     assert (row["out_h"], row["out_w"]) == (96, 64)
+
+
+def test_pdf_raster_null_payload_is_bad_pdf(session):
+    """Review r4: a NULL payload row must emit bad_pdf, not poison the
+    task with a TypeError."""
+    import numpy as np
+
+    from ocr_api_spark.operators.multimodal import pdf_raster
+    from ocr_api_spark.sources.pdfraster import write_image_pdf
+
+    img = np.random.default_rng(22).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    df = session.createDataFrame(
+        [("ok", bytearray(write_image_pdf([img], codec="flate"))), ("null", None)],
+        "url string, payload binary",
+    )
+    out = {r["url"]: r["raster_status"] for r in pdf_raster(df).collect()}
+    assert out == {"ok": "ok", "null": "bad_pdf"}

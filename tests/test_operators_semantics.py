@@ -486,3 +486,21 @@ def test_pq_trained_codebooks_deterministic_and_useful(session):
     dists = [sum(lut[j][r[f"code_{j}"]] for j in range(4)) for r in all_codes]
     top_mean = sum(r["adc_dist"] for r in top) / len(top)
     assert top_mean < sum(dists) / len(dists)
+
+
+def test_canonical_url_fragment_query_not_leaked(session):
+    """Review r4: a '?' inside the fragment (SPA routes) is fragment
+    content — it must not leak into the canonical URL or split dedup
+    keys for the same resource."""
+    from ocr_api_spark.operators.weburl import with_canonical_url
+
+    rows = [
+        ("a", "https://ex.com/page#/route?tab=1"),
+        ("b", "https://ex.com/page#/route?tab=2"),
+        ("c", "https://ex.com/page?real=1#frag?fake=2"),
+    ]
+    df = session.createDataFrame(rows, "k string, url string")
+    got = {r["k"]: r["canonical_url"] for r in with_canonical_url(df).collect()}
+    assert got["a"] == "https://ex.com/page"
+    assert got["b"] == "https://ex.com/page"  # same dedup key
+    assert got["c"] == "https://ex.com/page?real=1"

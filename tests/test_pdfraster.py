@@ -190,3 +190,55 @@ def _raw_pdf(mediabox: str, content: bytes, img=None, img_raw=None, img_dict=Non
         out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
     out += b"%%EOF\n"
     return bytes(out)
+
+
+def test_indirect_and_inherited_resources():
+    """Review r4: real writers spell /Resources as an indirect ref or
+    inherit it from the /Pages node; both must resolve to the XObject."""
+    import zlib as _z
+
+    img = _img(6, 8, seed=21)
+    samples = _z.compress(img[:, :, ::-1].tobytes())
+    content = b"q 8 0 0 6 0 0 cm /Im0 Do Q"
+    common = (
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 8 /Height 6 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"6 0 obj\n<< /XObject << /Im0 5 0 R >> >>\nendobj\n%%%%EOF\n"
+    ) % (len(content), content, len(samples), samples)
+
+    indirect = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 8 6] "
+        b"/Contents 4 0 R /Resources 6 0 R >>\nendobj\n" + common
+    )
+    assert np.array_equal(rasterize_pdf_pages(indirect, dpi=72)[0], img)
+
+    inherited = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources 6 0 R >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 8 6] "
+        b"/Contents 4 0 R >>\nendobj\n" + common
+    )
+    assert np.array_equal(rasterize_pdf_pages(inherited, dpi=72)[0], img)
+
+
+def test_offset_mediabox_origin():
+    """Review r4: a nonzero-origin /MediaBox must size the canvas from
+    the box EXTENT and shift placements into box coordinates."""
+    img = np.zeros((10, 10, 3), dtype=np.uint8)
+    pdf = _raw_pdf(
+        mediabox="5 9 105 109",  # 100x100pt box with origin (5, 9)
+        content=b"q 10 0 0 10 25 69 cm /Im0 Do Q",
+        img=img,
+    )
+    page = rasterize_pdf_pages(pdf, dpi=72)[0]
+    assert page.shape == (100, 100, 3)
+    # x: 25-5=20..30; y-top: 109-69-10=30..40
+    assert (page[30:40, 20:30] == 0).all()
+    assert (page[:30] == 255).all() and (page[40:] == 255).all()
+

@@ -609,3 +609,15 @@ def test_fused_udf_compressed_pdf_branch(session):
     assert out["extracted_text"] == clean_text(pdf_text(plain))
     assert out["status"] == "Completed"
     assert out["pan"]["ocr_pan_number"] == "ABCPS1234F"
+
+
+def test_inline_image_ei_abutting_data_falls_back():
+    """Review r4: whitespace before EI is conventional but not required
+    — when no whitespace-delimited EI exists, the abutting form must
+    still terminate the skip instead of eating the rest of the page."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00\x01\x02)EI\n"  # EI abuts ')'
+        b"BT /F1 12 Tf 72 680 Td (after) Tj ET"
+    )
+    assert parse_pdf(_one_page_pdf(content))[0].extract_text() == "before\nafter"
