@@ -898,6 +898,54 @@ FROM cc GROUP BY id
 """
 
 
+def _doc_repeated_paragraphs(spark, sf_dir):
+    """C4-style corpus-wide paragraph dedup: every (doc, paragraph)
+    whose md5 occurs >= 2 times across the corpus — the rows a
+    cleaning pass blanks (explode → hash agg → join back).  The corpus
+    seeds 30 exact-copy variants (doc_id+2000) so the collision path
+    actually fires at the oracle SF — the base texts are all unique,
+    and a 0-row green gate would prove nothing."""
+    from ocr_api_spark.operators.dedup import repeated_paragraphs
+
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    variants = (
+        base.where(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+    )
+    docs = base.select("doc_id", "text").unionByName(variants)
+    return repeated_paragraphs(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("para_idx").cast("int").alias("para_idx"),
+        "para_hash",
+        "n_occurrences",
+    )
+
+
+_DOC_REPEATED_PARAS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 2000 AS doc_id, text FROM documents WHERE doc_id < 30
+),
+paras AS (
+  SELECT doc_id, i - 1 AS para_idx, md5(p[i]) AS para_hash
+  FROM (
+    SELECT doc_id, string_split(text, chr(10)) AS p,
+           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+    FROM corpus
+  )
+  WHERE length(trim(p[i])) > 0
+),
+counts AS (
+  SELECT para_hash, count(*)::BIGINT AS n_occurrences
+  FROM paras GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT p.doc_id::BIGINT AS doc_id, p.para_idx::INT AS para_idx,
+       p.para_hash, c.n_occurrences
+FROM paras p JOIN counts c USING (para_hash)
+"""
+
+
 def _doc_minhash_lsh(spark, sf_dir):
     """MinHash+LSH with signatures as a pure projection (array fold, no
     shingle explode) — the band self-join is the plan's only shuffle."""
@@ -2398,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_minhash_lsh": _doc_minhash_lsh,
         "doc_dedup_clusters": _doc_dedup_clusters,
+        "doc_repeated_paragraphs": _doc_repeated_paragraphs,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_sign_buckets": _emb_sign_buckets,
         "emb_ivf_lists": _emb_ivf_lists,
@@ -2477,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": _DOC_JACCARD_SQL,
         "doc_minhash_lsh": _DOC_MINHASH_SQL,
         "doc_dedup_clusters": _DOC_CLUSTERS_SQL,
+        "doc_repeated_paragraphs": _DOC_REPEATED_PARAS_SQL,
         "doc_spans": _DOC_SPANS_SQL,
         "emb_cosine_topk": _emb_cosine_topk_sql(),
         "emb_sign_buckets": _EMB_BUCKETS_SQL,

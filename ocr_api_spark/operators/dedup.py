@@ -296,6 +296,39 @@ def simhash64(df: DataFrame, text_col: str, n: int = 3, id_col: str = "doc_id") 
     return out
 
 
+def repeated_paragraphs(
+    df: DataFrame,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup (Raffel et al. 2020 §2.2
+    removed any three-sentence span occurring more than once): explode
+    documents into newline paragraphs, md5 them, and return every
+    (doc, paragraph) whose hash occurs ≥ ``min_occurrences`` times
+    across the corpus — the rows a cleaning pass blanks out.
+
+    Shape at scale: one explode + one hash-keyed aggregate with
+    map-side combine, then a semi-style join back on the hash — the
+    same skeleton as exact doc dedup, one level finer.  Returns
+    (doc_id, para_idx, para_hash, n_occurrences)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("para_idx", "para"),
+    ).where(F.length(F.trim(F.col("para"))) > 0)
+    hashed = paras.select(
+        id_col, "para_idx", F.md5(F.col("para")).alias("para_hash")
+    )
+    counts = (
+        hashed.groupBy("para_hash")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_occurrences)
+    )
+    return hashed.join(counts, "para_hash").select(
+        id_col, "para_idx", "para_hash", "n_occurrences"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
