@@ -304,9 +304,14 @@ def _bilinear_sample(
     bot = g[y1, x0] * (1 - fx) + g[y1, x1] * fx
     out = top * (1 - fy) + bot * fy
     if fill is not None:
-        # cv2 BORDER_CONSTANT: any sample whose 2x2 support lies fully
-        # outside gets the constant; partial overlap blends with it
-        outside = (xs < -1) | (xs > w) | (ys < -1) | (ys > h)
+        # cv2 BORDER_CONSTANT approximation: a sample whose bilinear
+        # weight falls entirely on out-of-image taps gets the constant
+        # (xs >= w: support cols w, w+1; xs <= -1: all weight on col
+        # floor(x) <= -1 — and symmetrically for y).  The 1-px partial
+        # band replicates the edge instead of blending toward the
+        # constant; the callers re-threshold the result, where that
+        # sub-pixel band is immaterial.
+        outside = (xs <= -1) | (xs >= w) | (ys <= -1) | (ys >= h)
         out = np.where(outside, fill, out)
     return out
 

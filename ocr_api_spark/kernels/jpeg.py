@@ -228,11 +228,14 @@ class _HuffTable:
         f = self._fast.get(is_dc)
         if f is None:
             key = (self._key, is_dc)
-            f = _FAST_LUT_CACHE.get(key)
+            f = _FAST_LUT_CACHE.pop(key, None)
             if f is None:
                 while len(_FAST_LUT_CACHE) >= _FAST_LUT_CACHE_MAX:
                     _FAST_LUT_CACHE.pop(next(iter(_FAST_LUT_CACHE)))
-                f = _FAST_LUT_CACHE[key] = _build_fast_lut(self.codes, is_dc)
+                f = _build_fast_lut(self.codes, is_dc)
+            # pop+reinsert makes eviction LRU: the hot Annex K tables
+            # must not be first out just because they entered first
+            _FAST_LUT_CACHE[key] = f
             self._fast[is_dc] = f
         return f
 

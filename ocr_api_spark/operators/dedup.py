@@ -393,9 +393,17 @@ def connected_components(
         # max_iters means the corpus isn't the shallow near-dup shape —
         # fail loudly and let the caller raise the budget.
         edges.unpersist()
+        labels.unpersist()
         raise ValueError(
             f"connected_components did not converge in {max_iters} rounds "
             f"({changed} labels still changing); raise max_iters"
         )
     edges.unpersist()
-    return labels.select(F.col("id").alias(node_col), F.col("lbl").alias("cluster_id"))
+    # hand the result back lineage-truncated, NOT as a pinned cache the
+    # caller can't release: localCheckpoint materializes the labels and
+    # lets the context cleaner reclaim the blocks once the returned
+    # frame is dropped, where the internal cache would leak one pinned
+    # RDD per call in a long-lived session (review r4b)
+    result = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return result.select(F.col("id").alias(node_col), F.col("lbl").alias("cluster_id"))

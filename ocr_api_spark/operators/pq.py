@@ -51,6 +51,7 @@ def pq_train(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> list:
     """Train per-subspace codebooks with the engine-deterministic
     ``kmeans_lloyd`` (decimal-exact centroid means, no RNG, ties to the
@@ -61,7 +62,11 @@ def pq_train(
     incremental re-encodes never mix codebook generations silently."""
     from ocr_api_spark.operators.ivf import kmeans_lloyd
 
-    dims = len(df.select(vec_col).first()[0])
+    if dims is None:  # one limit-1 job; pass dims to skip it
+        head = df.select(vec_col).first()
+        if head is None:
+            raise ValueError("pq_train: empty input DataFrame")
+        dims = len(head[0])
     dsub = dims // m
     books = []
     for j in range(m):

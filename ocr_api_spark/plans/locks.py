@@ -8,11 +8,15 @@ serializes the section; a hard-killed holder's lock is broken by age
 via an atomic RENAME claim, so exactly one of several concurrent
 breakers wins (remove+create has a TOCTOU admitting two).
 
-Ownership tokens close the break-races-release hole (review r4): a
-slow-but-alive holder whose lock was broken by TTL must NOT delete the
+Ownership tokens NARROW the break-races-release hole (review r4): a
+slow-but-alive holder whose lock was broken by TTL must not delete the
 NEW holder's lock in its cleanup — ``release`` unlinks only when the
 file still carries the caller's own token, so the stale holder's
-release becomes a no-op and the new holder's section stays protected.
+release becomes a no-op in every realistic interleaving.  The residual
+window is the non-atomic read→unlink inside ``release`` itself (a
+break + re-acquire landing between the two); closing it needs an
+atomic compare-and-delete the filesystem doesn't offer — on Iceberg
+proper the catalog swap makes the whole module moot.
 
 A lock older than the TTL whose holder is genuinely still alive is the
 documented operational limit of file locks — set ``ttl_sec`` above the

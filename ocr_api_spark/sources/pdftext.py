@@ -127,11 +127,18 @@ _TOKEN_RE = re.compile(
 # every text span after an abutting-EI image (review r4).
 _INLINE_IMG_ID_RE = re.compile(rb"\bID[\s]")
 _INLINE_IMG_END_RE = re.compile(rb"(?<=[\s])EI(?=\s|$)")
-_INLINE_IMG_END_FALLBACK_RE = re.compile(rb"\bEI(?=\s|$)")
+# no \b on the fallback: the abutting byte may itself be a word
+# character (e.g. ...0x41 'A' + EI), where a word-boundary anchor
+# would find nothing and the skip would eat the rest of the stream
+_INLINE_IMG_END_FALLBACK_RE = re.compile(rb"EI(?=\s|$)")
 
 
-def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
-    """Walk one content stream, emitting a Span per show op."""
+def _tokenize_spans(
+    stream: bytes, page_height: float, origin_x: float = 0.0, origin_y: float = 0.0
+) -> list[Span]:
+    """Walk one content stream, emitting a Span per show op.  Span
+    coordinates are reported relative to the MediaBox origin (top-down),
+    so text geometry agrees with the raster path on offset boxes."""
     spans: list[Span] = []
     size = 12.0
     leading = 0.0
@@ -143,7 +150,14 @@ def _tokenize_spans(stream: bytes, page_height: float) -> list[Span]:
 
     def show(text: str) -> None:
         if text:
-            spans.append(Span(x0=x, top=page_height - y, size=size, text=text))
+            spans.append(
+                Span(
+                    x0=x - origin_x,
+                    top=origin_y + page_height - y,
+                    size=size,
+                    text=text,
+                )
+            )
 
     i = 0
     while i < len(stream):
@@ -275,7 +289,11 @@ class PdfPage:
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
 _STREAM_KW_RE = re.compile(rb"stream(\r\n|\n|\r)")
 _ENDSTREAM_RE = re.compile(rb"endstream")
-_MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.]+)\s+([\d.]+)\s+([\d.]+)\s+([\d.]+)\s*\]")
+# all four coordinates, sign included: the box may have a nonzero
+# (even negative) origin — width/height are EXTENTS, not corners
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s*\]"
+)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 # (?!\d) pins the number's end: without it, '/Length 10 0 R' backtracks
 # to group '1', sneaks past the not-a-reference lookahead, and silently
@@ -614,7 +632,13 @@ def _parse_pdf(data: bytes) -> list[PdfPage]:
     for num in _page_order(objects, page_nums):
         hdr, _ = objects[num]
         mb = _MEDIABOX_RE.search(hdr)
-        width, height = (float(mb.group(3)), float(mb.group(4))) if mb else (612.0, 792.0)
+        if mb:
+            bx0, by0, bx1, by1 = (float(mb.group(i)) for i in range(1, 5))
+        else:
+            bx0, by0, bx1, by1 = 0.0, 0.0, 612.0, 792.0
+        width, height = bx1 - bx0, by1 - by0
+        if width <= 0 or height <= 0:
+            raise MiniPdfError("degenerate /MediaBox")
         cm = _CONTENTS_RE.search(hdr)
         spans: list[Span] = []
         if cm and int(cm.group(1)) in objects:
@@ -622,7 +646,7 @@ def _parse_pdf(data: bytes) -> list[PdfPage]:
             if content_raw is not None:
                 stream = _decode_stream(content_hdr, content_raw)
                 try:
-                    spans = _tokenize_spans(stream, height)
+                    spans = _tokenize_spans(stream, height, origin_x=bx0, origin_y=by0)
                 except Exception as e:
                     # a malformed-but-real PDF must be a MiniPdfError, not a
                     # poison pill: callers route MiniPdfError to the OCR

@@ -621,3 +621,35 @@ def test_inline_image_ei_abutting_data_falls_back():
         b"BT /F1 12 Tf 72 680 Td (after) Tj ET"
     )
     assert parse_pdf(_one_page_pdf(content))[0].extract_text() == "before\nafter"
+
+
+def test_inline_image_ei_abutting_word_char():
+    """Review r4b: the abutting byte may itself be a word character —
+    a \\b-anchored fallback would find nothing and eat the page."""
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00\x01\x02AEI\n"  # 'A' abuts EI
+        b"BT /F1 12 Tf 72 680 Td (after) Tj ET"
+    )
+    assert parse_pdf(_one_page_pdf(content))[0].extract_text() == "before\nafter"
+
+
+def test_offset_mediabox_text_geometry_matches_raster():
+    """Review r4b: the TEXT path must use the same MediaBox-origin
+    convention as the raster path — extents for width/height, spans in
+    box coordinates."""
+    content = b"BT /F1 12 Tf 77 49 Td (shifted) Tj ET"  # x=77, y=49 PDF-space
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [5 9 105 109] "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    page = parse_pdf(pdf)[0]
+    assert (page.width, page.height) == (100.0, 100.0)  # extents, not corners
+    span = page.spans[0]
+    assert span.x0 == 72.0  # 77 - origin 5
+    assert span.top == 60.0  # y1 109 - 49
