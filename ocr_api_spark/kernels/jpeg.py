@@ -598,6 +598,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         ac_lut = ac_t.lut
         ks: list[int] = []
         vs: list[int] = []
+        ks_append = ks.append  # bound methods: 2 appends per coefficient
+        vs_append = vs.append
         k = 1
         while k < 64:
             e = ac_fast[w16[pos]]
@@ -606,8 +608,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
                 k += (e >> 16) & 0x0F
                 if k > 63:
                     raise JpegError("AC run past block end")
-                ks.append(k)
-                vs.append((e & 0xFFFF) - 0x8000)
+                ks_append(k)
+                vs_append((e & 0xFFFF) - 0x8000)
                 k += 1
                 continue
             entry = ac_lut[w16[pos]]
@@ -736,6 +738,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
         ac_lut = ac_t.lut
         ks: list[int] = []
         vs: list[int] = []
+        ks_append = ks.append  # bound methods: 2 appends per coefficient
+        vs_append = vs.append
         k = ss
         while k <= se:
             e = ac_fast[w16[pos]]
@@ -744,8 +748,8 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
                 k += (e >> 16) & 0x0F
                 if k > se:
                     raise JpegError("AC run past band end")
-                ks.append(k)
-                vs.append(((e & 0xFFFF) - 0x8000) << al)
+                ks_append(k)
+                vs_append(((e & 0xFFFF) - 0x8000) << al)
                 k += 1
                 continue
             entry = ac_lut[w16[pos]]
@@ -958,6 +962,7 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
     cid, _dct, act = scan_comps[0]
     _, h, v, _q = by_id[cid]
     bw, bh_n = _comp_block_dims(width, height, h, v, hmax, vmax)
+    table = ac_table(act)  # constant for the scan: resolve once, not per block
     unit = 0
     for by in range(bh_n):
         for bx in range(bw):
@@ -966,9 +971,9 @@ def _decode_scan_into(frame, coeffs, huff_dc, huff_ac, scan_comps,
                 reset_state()
             blk = coeffs[cid][by, bx]
             if ah == 0:
-                ac_first_block(blk, ac_table(act))
+                ac_first_block(blk, table)
             else:
-                ac_refine_block(blk, ac_table(act))
+                ac_refine_block(blk, table)
             unit += 1
 
 
