@@ -168,11 +168,15 @@ def _build_huffman_decoder(counts: list[int], symbols: list[int]) -> dict[tuple[
 
 _FAST_LUT_CACHE: dict[tuple, list] = {}
 # bound the cache: standard Annex K tables dominate real corpora, but a
-# corpus of optimize_coding JPEGs carries per-image tables — each LUT is
-# a 65536-entry list (~0.5 MB), so unbounded growth would OOM a
-# long-lived executor.  FIFO eviction; per-image tables then rebuild per
-# image (a few ms, amortized against the decode itself).
-_FAST_LUT_CACHE_MAX = 64
+# corpus of optimize_coding JPEGs carries per-image tables.  Each LUT is
+# a 65536-entry Python int list — ~2.5 MB counting list slots plus the
+# non-interned int objects (ADVICE r4; NOT the 0.5 MB a packed array
+# would take), and every pyspark worker process on an executor holds
+# its own copy.  16 entries (~40 MB/worker worst case) comfortably
+# covers the 4 Annex K tables plus a working set of per-image ones; LRU
+# eviction (hit = pop+reinsert), evicted tables rebuild per image (a
+# few ms, amortized against the decode itself).
+_FAST_LUT_CACHE_MAX = 16
 
 
 def _build_fast_lut(codes: dict[tuple[int, int], int], is_dc: bool) -> list[int]:

@@ -137,7 +137,22 @@ def _interp_placements(stream: bytes) -> list[tuple[str, tuple[float, ...]]]:
     """Minimal content-stream interpreter for the image branch: track
     the CTM through q/Q/cm and emit (xobject_name, ctm) per Do.  Text
     ops just push operands that the next operator pops-by-clearing —
-    only the graphics-state subset matters here."""
+    only the graphics-state subset matters here.
+
+    Literal strings and BI..ID..EI inline images are skipped wholesale
+    (ADVICE r4): a text-bearing page whose string content contains a
+    standalone ``Q`` (e.g. ``(Mr. Q) Tj``) would otherwise pop the CTM
+    stack mid-stream — misplacing images or tripping the
+    non-axis-aligned raise and degrading the document to bad_pdf.  The
+    escape/nesting rules are the sibling text tokenizer's
+    (pdftext._read_literal_string)."""
+    from ocr_api_spark.sources.pdftext import (
+        _INLINE_IMG_END_FALLBACK_RE,
+        _INLINE_IMG_END_RE,
+        _INLINE_IMG_ID_RE,
+        _read_literal_string,
+    )
+
     ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
     def mul(m: tuple, n: tuple) -> tuple:
@@ -157,9 +172,27 @@ def _interp_placements(stream: bytes) -> list[tuple[str, tuple[float, ...]]]:
     stack: list[tuple] = []
     operands: list = []
     placements: list[tuple[str, tuple[float, ...]]] = []
-    for tok in re.finditer(
-        rb"(/[^\s/\[\]()<>]+)|([-+]?\d*\.?\d+)|(\b(?:q|Q|cm|Do)\b)", stream
-    ):
+    tok_re = re.compile(
+        rb"(/[^\s/\[\]()<>]+)|([-+]?\d*\.?\d+)|(\b(?:q|Q|cm|Do)\b)|(\()|(\bBI\b)"
+    )
+    i = 0
+    while i < len(stream):
+        tok = tok_re.search(stream, i)
+        if not tok:
+            break
+        i = tok.end()
+        if tok.group(4):  # literal string: skip past it, escapes and all
+            _, i = _read_literal_string(stream, tok.start(4))
+            continue
+        if tok.group(5):  # BI..ID..EI inline image: skip wholesale
+            idm = _INLINE_IMG_ID_RE.search(stream, i)
+            start = idm.end() if idm else i
+            em = _INLINE_IMG_END_RE.search(stream, start)
+            if em is None:
+                em = _INLINE_IMG_END_FALLBACK_RE.search(stream, start)
+            i = em.end() if em else len(stream)
+            operands = []
+            continue
         if tok.group(1):
             operands.append(tok.group(1)[1:].decode("latin-1"))
         elif tok.group(2):

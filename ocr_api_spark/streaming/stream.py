@@ -159,6 +159,13 @@ def credits_ledger_stream(claims: DataFrame, initial_credits: int = 1000) -> Dat
 # live holder by orders of magnitude without stalling the stream forever
 _MERGE_LOCK_ATTEMPTS = 30
 _MERGE_LOCK_WAIT_SEC = 2.0
+# break-by-age TTL must sit INSIDE the wait budget (ADVICE r4): with the
+# default 3600 s TTL a hard-killed holder could not be broken within the
+# 60 s retry loop, so every live stream's merge would raise
+# BlockingIOError (terminating the streaming query) for up to an hour.
+# 30 s is orders of magnitude above a merge's duration yet leaves half
+# the wait budget for the post-break acquire.
+_MERGE_LOCK_TTL_SEC = 30.0
 
 
 def merge_credits_batch(
@@ -205,7 +212,7 @@ def merge_credits_batch(
     lock_path = accounts_path + ".merge.lock"
     token = None
     for attempt in range(_MERGE_LOCK_ATTEMPTS):
-        token = locks.try_acquire(lock_path)
+        token = locks.try_acquire(lock_path, ttl_sec=_MERGE_LOCK_TTL_SEC)
         if token is not None:
             break
         _time.sleep(_MERGE_LOCK_WAIT_SEC)

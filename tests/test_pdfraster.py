@@ -242,3 +242,36 @@ def test_offset_mediabox_origin():
     assert (page[30:40, 20:30] == 0).all()
     assert (page[:30] == 255).all() and (page[40:] == 255).all()
 
+
+
+def test_literal_string_q_does_not_pop_ctm():
+    """ADVICE r4: a text string containing a standalone ``Q`` (e.g.
+    ``(Mr. Q) Tj``) must not pop the CTM stack — the placement
+    interpreter skips literal strings with the text tokenizer's escape
+    rules (including nested parens and escaped closers)."""
+    img = np.zeros((10, 10, 3), dtype=np.uint8)
+    content = (
+        b"BT /F1 12 Tf (Mr. Q cm Do \\(nested (deep Q) \\) 8 0 0) Tj ET "
+        b"q 10 0 0 10 20 60 cm /Im0 Do Q"
+    )
+    page = rasterize_pdf_pages(
+        _raw_pdf(mediabox="0 0 100 100", content=content, img=img), dpi=72
+    )[0]
+    assert (page[30:40, 20:30] == 0).all()
+    assert (page[:30] == 255).all() and (page[40:] == 255).all()
+
+
+def test_inline_image_bytes_do_not_perturb_ctm():
+    """ADVICE r4: BI..ID..EI sample bytes can spell ``Q``/``cm``/``Do``
+    — the interpreter must skip the whole span like the text tokenizer
+    does."""
+    img = np.zeros((10, 10, 3), dtype=np.uint8)
+    content = (
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID Q 9 9 9 9 cm /Im0 Do\nEI\n"
+        b"q 10 0 0 10 20 60 cm /Im0 Do Q"
+    )
+    page = rasterize_pdf_pages(
+        _raw_pdf(mediabox="0 0 100 100", content=content, img=img), dpi=72
+    )[0]
+    assert (page[30:40, 20:30] == 0).all()
+    assert (page[:30] == 255).all() and (page[40:] == 255).all()

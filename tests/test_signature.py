@@ -5,6 +5,18 @@ border-touch test counts pixels EQUAL to 255 in the grayscale ROI
 (app.py:4789-4792) — real scans have near-white paper, and a
 fully-saturated canvas would trip that test everywhere.  A dedicated
 glare fixture pins the ==255 semantics.
+
+Scope of parity (ADVICE r4): min_area_rect NORMALIZES its output
+(w = major extent, angle of the major axis in [-90, 90)), whereas
+cv2.minAreaRect's w/h-angle pairing depends on which hull edge wins
+its rotating-calipers sweep.  is_straight_line_signature expands the
+minor side and rotates by the angle, so our ROI is always
+major-horizontal while cv2's can come out major-vertical — for TILTED
+strokes the reference's touch/spread tests may then run on a
+transposed ROI and flip the verdict.  cv2-verdict parity for rotated
+marks is therefore intentionally NOT pinned; these golden shapes pin
+the normalized-deterministic behavior (which is stable across corpora,
+unlike the edge-order-dependent cv2 pairing).
 """
 
 from __future__ import annotations
