@@ -147,40 +147,53 @@ GROUP BY r_name
 """
 
 
-def _semi_join_active_customers(spark, sf_dir):
+def _customer_order_activity(spark, sf_dir):
+    """Semi- AND anti-join in one driver row (round-5 merge of the
+    former semi_join_active_customers / anti_join_idle_customers pair):
+    per nation, customers with any order (left_semi) and customers who
+    never placed an URGENT order (left_anti against a *filtered* fact
+    subset — every customer has some order at the test SFs, so the
+    unfiltered anti was a vacuous 0-row check).  Both join shapes still
+    execute; the outer merge of the two tiny aggregates is free."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    active = (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("bigint").alias("active_customers"))
-        .withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
     )
-
-
-_SEMI_SQL = """
-SELECT c_nationkey::INT AS c_nationkey, count(*)::BIGINT AS active_customers
-FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-GROUP BY c_nationkey
-"""
-
-
-def _anti_join_idle_customers(spark, sf_dir):
-    """Anti-join against a *filtered* fact subset (customers who never
-    placed an URGENT order) — every customer has some order at the test
-    SFs, so the unfiltered variant was a vacuous 0-row check."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    no_urgent = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("no_urgent_customers"))
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_mktsegment")
+        active.join(no_urgent, "c_nationkey", "full_outer")
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            F.coalesce("active_customers", F.lit(0)).cast("bigint").alias("active_customers"),
+            F.coalesce("no_urgent_customers", F.lit(0)).cast("bigint").alias("no_urgent_customers"),
+        )
     )
 
 
-_ANTI_SQL = """
-SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment
-FROM customer c WHERE NOT EXISTS (
-  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+_CUSTOMER_ACTIVITY_SQL = """
+WITH active AS (
+  SELECT c_nationkey, count(*)::BIGINT AS active_customers
+  FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY c_nationkey
+),
+idle AS (
+  SELECT c_nationkey, count(*)::BIGINT AS no_urgent_customers
+  FROM customer c WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  GROUP BY c_nationkey
+)
+SELECT coalesce(a.c_nationkey, i.c_nationkey)::INT AS c_nationkey,
+       coalesce(a.active_customers, 0)::BIGINT AS active_customers,
+       coalesce(i.no_urgent_customers, 0)::BIGINT AS no_urgent_customers
+FROM active a FULL JOIN idle i ON a.c_nationkey = i.c_nationkey
 """
 
 
@@ -501,7 +514,11 @@ LIMIT 25
 def _salted_source_stats(spark, sf_dir):
     """Skew-safe two-phase aggregation (SURVEY §4.2(c)): partial agg by
     (source, salt), final merge by source — result must equal the plain
-    one-phase GROUP BY, which is exactly what the oracle runs."""
+    one-phase GROUP BY, which is exactly what the oracle runs.  The
+    regex-match count (round 5: folded from the former doc_regex_scan
+    row) rides the same partial phase as a conditional sum — rlike stays
+    pinned, and conditional counts are exactly what the salted two-phase
+    shape must merge correctly (sum-of-sums)."""
     from ocr_api_spark.plans.skew import salted_host_agg
 
     docs = _t(spark, sf_dir, "documents").withColumn(
@@ -509,22 +526,35 @@ def _salted_source_stats(spark, sf_dir):
     )
     out = salted_host_agg(
         docs.withColumnRenamed("source", "host"),
-        [F.count("*").alias("docs"), F.sum("n_chars").alias("total_chars")],
+        [
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.when(F.col("text").rlike("spark [a-z]+ join"), 1).otherwise(0)
+            ).alias("regex_docs"),
+        ],
     )
     return out.select(
         F.col("host").alias("source"),
         F.col("docs").cast("bigint").alias("docs"),
         F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("regex_docs").cast("bigint").alias("regex_docs"),
     )
 
 
 _SALTED_SQL = """
-SELECT source, count(*)::BIGINT AS docs, sum(n_chars)::BIGINT AS total_chars
+SELECT source, count(*)::BIGINT AS docs, sum(n_chars)::BIGINT AS total_chars,
+       sum(CASE WHEN regexp_matches(text, 'spark [a-z]+ join') THEN 1 ELSE 0 END)::BIGINT AS regex_docs
 FROM documents GROUP BY source
 """
 
 
 def _doc_token_stats(spark, sf_dir):
+    """Deregistered round 5 (driver checks at most 50 queries): the
+    per-lang rollup of token_count is a plain groupBy-sum/avg shape
+    covered by a dozen other driver rows, while the underlying per-doc
+    token_count expression is pinned by doc_quality.  Kept callable for
+    bench.py timing continuity."""
     from ocr_api_spark.operators.textstats import with_token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -539,23 +569,24 @@ def _doc_token_stats(spark, sf_dir):
     )
 
 
-_DOC_TOKENS_SQL = """
-SELECT lang, count(*)::BIGINT AS docs,
-       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
-       round(avg(len(string_split(text, ' '))), 3) AS avg_tokens
-FROM documents GROUP BY lang
-"""
-
-
 def _doc_quality(spark, sf_dir):
-    from ocr_api_spark.operators.textstats import with_quality
+    """Per-doc shallow quality features in ONE projection: token count,
+    char count, mean token length, punctuation density, EN-stopword
+    ratio.  Round 5 folded the former doc_token_stats (per-lang rollup)
+    and doc_stopword_ratio (per-source average) rows into this check —
+    their aggregates were routine groupBy shapes, but every underlying
+    per-doc expression is now pinned here at row grain, which is the
+    stronger check."""
+    from ocr_api_spark.operators.textstats import with_quality, with_stopword_ratio
 
     docs = _t(spark, sf_dir, "documents")
-    return with_quality(docs).select(
+    return with_stopword_ratio(with_quality(docs)).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "token_count",
         "n_chars_obs",
         "mean_token_len",
+        "punct_density",
+        "stopword_ratio",
     )
 
 
@@ -563,7 +594,12 @@ _DOC_QUALITY_SQL = """
 SELECT doc_id::BIGINT AS doc_id,
        len(string_split(text, ' '))::BIGINT AS token_count,
        length(text)::BIGINT AS n_chars_obs,
-       round((length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')), 4)::DOUBLE AS mean_token_len
+       round((length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')), 4)::DOUBLE AS mean_token_len,
+       round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / greatest(length(text), 1), 4)::DOUBLE AS punct_density,
+       round(len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','and','of','to','in','is'], t)))::DOUBLE
+             / greatest(len(string_split(text, ' ')), 1), 4)::DOUBLE AS stopword_ratio
 FROM documents
 """
 
@@ -733,47 +769,6 @@ FROM c
 """
 
 
-def _doc_stopword_ratio(spark, sf_dir):
-    from ocr_api_spark.operators.textstats import EN_STOP
-
-    docs = _t(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOP])
-    # unrounded per-doc ratio (round only after the aggregate, mirroring
-    # the SQL exactly — per-doc rounding shifts the 4th decimal of avg)
-    ratio = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))) / F.greatest(
-        F.size(tokens), F.lit(1)
-    )
-    return docs.groupBy("source").agg(F.round(F.avg(ratio), 4).alias("avg_stopword_ratio"))
-
-
-_DOC_STOPWORD_SQL = """
-SELECT source,
-       round(avg(
-         len(list_filter(string_split(text, ' '),
-             t -> list_contains(['the','a','and','of','to','in','is'], t)))::DOUBLE
-         / greatest(len(string_split(text, ' ')), 1)
-       ), 4) AS avg_stopword_ratio
-FROM documents GROUP BY source
-"""
-
-
-def _doc_regex_scan(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.where(F.col("text").rlike("spark [a-z]+ join"))
-        .groupBy("lang")
-        .agg(F.count("*").cast("bigint").alias("matching_docs"))
-    )
-
-
-_DOC_REGEX_SQL = """
-SELECT lang, count(*)::BIGINT AS matching_docs
-FROM documents WHERE regexp_matches(text, 'spark [a-z]+ join')
-GROUP BY lang
-"""
-
-
 def _doc_fingerprint_dedup(spark, sf_dir):
     from ocr_api_spark.operators.dedup import exact_duplicate_stats
 
@@ -787,40 +782,35 @@ FROM documents GROUP BY source
 """
 
 
-def _doc_levenshtein(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.where(F.col("doc_id") < 50)
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.levenshtein(F.substring("text", 1, 30), F.lit("spark group query row data")).cast("bigint").alias("lev"),
-        )
-    )
-
-
-_DOC_LEV_SQL = """
-SELECT doc_id::BIGINT AS doc_id,
-       levenshtein(substring(text, 1, 30), 'spark group query row data')::BIGINT AS lev
-FROM documents WHERE doc_id < 50
-"""
-
-
 def _doc_ngram_jaccard(spark, sf_dir):
+    """Shingle-overlap pairs re-ranked by BOTH set similarity (n-gram
+    Jaccard) and edit distance (levenshtein over the 30-char prefixes of
+    the pair's two texts) — round 5 folded the former standalone
+    doc_levenshtein row (prefix vs a literal) into this pair-grain
+    check, which exercises the same builtin against *two* data columns,
+    the shape a fuzzy dedup re-rank actually runs."""
     from ocr_api_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
-    pairs = ngram_jaccard_pairs(docs, "text", 3)
-    return pairs.where(F.col("jaccard") >= 0.01).select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-        "overlap",
-        "jaccard",
+    pairs = ngram_jaccard_pairs(docs, "text", 3).where(F.col("jaccard") >= 0.01)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 30).alias("pre_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 30).alias("pre_b"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "overlap",
+            "jaccard",
+            F.levenshtein("pre_a", "pre_b").cast("bigint").alias("prefix_lev"),
+        )
     )
 
 
 _DOC_JACCARD_SQL = """
 WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 40
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents WHERE doc_id < 40
 ),
 idx AS (
   SELECT doc_id, words, unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS i FROM words
@@ -836,8 +826,10 @@ overlap AS (
   GROUP BY 1, 2
 )
 SELECT o.id_a::BIGINT AS id_a, o.id_b::BIGINT AS id_b, o.overlap,
-       round(o.overlap / (sa.n_sh + sb.n_sh - o.overlap), 4)::DOUBLE AS jaccard
+       round(o.overlap / (sa.n_sh + sb.n_sh - o.overlap), 4)::DOUBLE AS jaccard,
+       levenshtein(substring(wa.text, 1, 30), substring(wb.text, 1, 30))::BIGINT AS prefix_lev
 FROM overlap o JOIN sizes sa ON sa.doc_id = o.id_a JOIN sizes sb ON sb.doc_id = o.id_b
+              JOIN words wa ON wa.doc_id = o.id_a JOIN words wb ON wb.doc_id = o.id_b
 WHERE round(o.overlap / (sa.n_sh + sb.n_sh - o.overlap), 4) >= 0.01
 """
 
@@ -943,6 +935,66 @@ counts AS (
 SELECT p.doc_id::BIGINT AS doc_id, p.para_idx::INT AS para_idx,
        p.para_hash, c.n_occurrences
 FROM paras p JOIN counts c USING (para_hash)
+"""
+
+
+# 40 synthetic tokens no natural document contains: appended to 30 docs,
+# they guarantee cross-document 20-token duplicate windows (21 per
+# seeded doc) so the flagging path actually fires at the oracle SF
+_SUBSTR_PASSAGE = " ".join(f"ss{i:02d}" for i in range(40))
+
+
+def _doc_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2021 — the rolling-window
+    analog of their suffix-array pass): maximal token spans covered by
+    20-token windows occurring verbatim >= 2 times corpus-wide.  The
+    corpus seeds 30 variants (doc_id+2000) that append the SAME
+    40-token passage, so every seeded doc flags the passage span (the
+    window hashes straddling the splice point stay unique — context
+    differs per doc); any naturally identical base texts flag
+    end-to-end.  A 0-row green gate would prove nothing (the
+    doc_repeated_paragraphs seeding pattern)."""
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 200)
+    variants = base.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _SUBSTR_PASSAGE)).alias("text"),
+    )
+    spans = duplicated_substring_spans(base.unionByName(variants), window=20)
+    return spans.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "n_windows",
+    )
+
+
+_DOC_SUBSTRING_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 2000 AS doc_id, text || ' {_SUBSTR_PASSAGE}' AS text
+  FROM documents WHERE doc_id < 30
+),
+pos AS (
+  SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+19], ' ')) AS whash
+  FROM pos WHERE i + 19 <= len(words)
+),
+counts AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2),
+flagged AS (SELECT w.doc_id, w.pos FROM wins w JOIN counts c USING (whash)),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+)
+SELECT doc_id::BIGINT AS doc_id, min(pos)::INT AS span_start,
+       (max(pos) + 19)::INT AS span_end, count(*)::BIGINT AS n_windows
+FROM islands GROUP BY doc_id, grp
 """
 
 
@@ -1083,26 +1135,9 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 20
 """
 
 
-def _emb_sign_buckets(spark, sf_dir):
-    from ocr_api_spark.operators.similarity import with_sign_bucket
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return (
-        with_sign_bucket(emb)
-        .groupBy("bucket")
-        .agg(F.count("*").cast("bigint").alias("n_vecs"))
-    )
-
-
-_EMB_BUCKETS_SQL = """
-SELECT (
-    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-  + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
-)::BIGINT AS bucket, count(*)::BIGINT AS n_vecs
-FROM embeddings GROUP BY 1
-"""
+# (round 5) the former emb_sign_buckets row was retired: every
+# emb_near_dup_* row buckets through the identical with_sign_bucket
+# projection, so a wrong bucket breaks those rows first.
 
 
 def _emb_label_centroid_norm(spark, sf_dir):
@@ -1185,35 +1220,10 @@ FROM wins WHERE p <= greatest(n - 3, 1)
 """
 
 
-def _emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: sign-LSH candidates + exact
-    cosine cut (threshold tuned to the synthetic data's similarity
-    range; production near-dup uses ~0.95 on real embeddings)."""
-    from ocr_api_spark.operators.similarity import near_dup_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return (
-        near_dup_pairs(emb, 0.35, bits=8)
-        .withColumn("id_a", F.col("id_a").cast("bigint"))
-        .withColumn("id_b", F.col("id_b").cast("bigint"))
-    )
-
-
-_EMB_NEAR_DUP_SQL = """
-WITH b AS (
-  SELECT vec_id, embedding,
-    ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-   + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-   + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-   + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)) AS bucket
-  FROM embeddings
-)
-SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine FROM (
-  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-         round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 3)::DOUBLE AS cosine
-  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-) WHERE cosine >= 0.35
-"""
+# (round 5) the former fixed-width emb_near_dup (bits=8) row was folded
+# into emb_near_dup_auto: at sf0.01 the auto derivation resolves to a
+# different width over the SAME operator and code path, so the fixed-8
+# variant checked nothing the auto row doesn't.
 
 
 def _emb_near_dup_auto(spark, sf_dir):
@@ -1386,17 +1396,10 @@ _IVF_CENTROIDS = [
 ]
 
 
-def _emb_ivf_lists(spark, sf_dir):
-    """IVF assignment (nearest fixed centroid, squared L2, ties to the
-    smallest list) — the inverted-list build step, checked exactly."""
-    from ocr_api_spark.operators.ivf import ivf_assign
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return (
-        ivf_assign(emb, _IVF_CENTROIDS)
-        .groupBy(F.col("ivf_list").cast("int").alias("ivf_list"))
-        .agg(F.count("*").cast("bigint").alias("n_vecs"))
-    )
+# (round 5) the former emb_ivf_lists row (per-list counts of the same
+# ivf_assign projection) was retired: emb_ivf_topk's probe restriction
+# and emb_ivf_kmeans' decimal-exact centroid means both break on any
+# wrong assignment, so the counts row added no discriminating power.
 
 
 def _image_payload(doc_id: int, text: str) -> bytes:
@@ -1914,6 +1917,54 @@ FROM h GROUP BY 1
 """
 
 
+def _sketch_hll_estimate(spark, sf_dir):
+    """The bias-corrected HLL ESTIMATE as a driver row (round-4 verdict
+    task 8 — it was pytest-only), side-by-side with DuckDB's exact
+    distinct count.  The estimator denominator is accumulated as the
+    integer sum(2^(53-register)) so it is partition-order-independent,
+    and the final arithmetic is ONE shared SQL expression both engines
+    evaluate (sketches.HLL_ESTIMATE_SQL_EXPR).  At sf0.01 the
+    linear-counting branch fires (n < 2.5m); at sf0.1 the raw
+    harmonic-mean branch does — one static oracle covers both."""
+    from ocr_api_spark.operators.sketches import hll_estimate_row
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_estimate_row(docs, "text")
+
+
+def _sketch_hll_est_sql() -> str:
+    from ocr_api_spark.operators.sketches import HLL_ESTIMATE_SQL_EXPR
+
+    return """
+WITH h AS (
+  SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS h FROM documents
+),
+regs AS (
+  SELECT (h >> 52)::INT AS bucket,
+         max(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+                  ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1))) END)::INT AS register
+  FROM h GROUP BY 1
+),
+s AS (
+  SELECT count(*)::BIGINT AS nonzero_buckets,
+         sum(1::BIGINT << (53 - register))::BIGINT AS present_scaled
+  FROM regs
+),
+d AS (SELECT count(DISTINCT text)::BIGINT AS exact_distinct FROM documents),
+sd AS (
+  SELECT nonzero_buckets,
+         ((256 - nonzero_buckets) * (1::BIGINT << 53) + present_scaled)::BIGINT AS denom_scaled
+  FROM s
+)
+SELECT 256 AS m, nonzero_buckets,
+       (256 - nonzero_buckets)::BIGINT AS zero_buckets,
+       denom_scaled,
+       (ESTIMATE_EXPR)::DOUBLE AS hll_estimate,
+       exact_distinct
+FROM sd, d
+""".replace("ESTIMATE_EXPR", HLL_ESTIMATE_SQL_EXPR)
+
+
 def _emb_pq_codes(spark, sf_dir):
     """PQ encode: per-subspace nearest-codebook codes (the compressed
     ANN index — 64 floats → 4 small ints per vector)."""
@@ -1981,12 +2032,6 @@ WITH assigned AS (
   SELECT vec_id, embedding, (list_position(d, list_min(d)) - 1) AS ivf_list
   FROM (SELECT vec_id, embedding, {dists} AS d FROM embeddings)
 )
-"""
-
-
-def _emb_ivf_lists_sql() -> str:
-    return _ivf_assigned_cte() + """
-SELECT ivf_list::INT AS ivf_list, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY 1
 """
 
 
@@ -2314,13 +2359,11 @@ FROM documents WHERE doc_id < 300
 """
 
 
-def _doc_simhash(spark, sf_dir):
-    """md5-based 64-bit SimHash, one row per doc (no per-bit explode) —
-    engine-portable, so this is now an exact DuckDB oracle check."""
-    from ocr_api_spark.operators.dedup import simhash64
-
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return simhash64(docs, "text").withColumn("doc_id", F.col("doc_id").cast("bigint"))
+# (round 5) the former doc_simhash row (per-doc 64-bit signature) was
+# folded into doc_simhash_bands, which now checks ALL FOUR 16-bit bands
+# of every signature (not just band0): any flipped signature bit lands
+# in exactly one band group and breaks that row, so per-doc signature
+# correctness is still fully pinned at band grain.
 
 
 # Shared CTE: the same bit formula as dedup._hex_digit_bits, in DuckDB,
@@ -2360,8 +2403,6 @@ sig AS (
 """
 
 
-_SIMHASH_CTE = _simhash_cte("SELECT doc_id, text FROM documents WHERE doc_id < 100")
-
 # the bands corpus adds 50 deterministic near-dup variants (two tokens
 # appended, doc_id+1000): a variant flips only the simhash bits its ~4
 # changed shingles vote on, so most variants share >= 1 of the 4 bands
@@ -2374,20 +2415,15 @@ _NEARDUP_CORPUS_SQL = (
     "FROM documents WHERE doc_id < 50"
 )
 
-_DOC_SIMHASH_SQL = _SIMHASH_CTE + """
-SELECT doc_id::BIGINT AS doc_id, simhash,
-       substring(simhash, 1, 16) AS band0, substring(simhash, 17, 16) AS band1,
-       substring(simhash, 33, 16) AS band2, substring(simhash, 49, 16) AS band3
-FROM sig
-"""
-
-
 def _doc_simhash_bands(spark, sf_dir):
     """Hamming-band grouping: docs sharing a 16-bit signature band are
     near-dup candidates — the LSH-style scale path for SimHash (band key
     is high-cardinality, so the single shuffle partitions evenly).  The
     corpus unions in 50 deterministic near-dup variants (same rule in
-    the oracle SQL) so bands with n_docs >= 2 actually occur."""
+    the oracle SQL) so bands with n_docs >= 2 actually occur.  Round 5:
+    checks ALL FOUR bands of every signature (stack → group by
+    (band_idx, band_sig)), which pins each doc's full 64-bit simhash at
+    band grain — this subsumes the retired per-doc doc_simhash row."""
     from ocr_api_spark.operators.dedup import simhash64
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 100)
@@ -2395,9 +2431,15 @@ def _doc_simhash_bands(spark, sf_dir):
         (F.col("doc_id") + 1000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" neardup marker")).alias("text"),
     )
+    sig = simhash64(docs.unionByName(variants), "text")
     return (
-        simhash64(docs.unionByName(variants), "text")
-        .groupBy("band0")
+        sig.select(
+            "doc_id",
+            F.expr(
+                "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band_sig)"
+            ),
+        )
+        .groupBy(F.col("band_idx").cast("int").alias("band_idx"), "band_sig")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
@@ -2406,19 +2448,27 @@ def _doc_simhash_bands(spark, sf_dir):
 
 
 _DOC_SIMHASH_BANDS_SQL = _simhash_cte(_NEARDUP_CORPUS_SQL) + """
-SELECT substring(simhash, 1, 16) AS band0, count(*)::BIGINT AS n_docs,
+SELECT band_idx::INT AS band_idx, band_sig, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS min_doc_id
-FROM sig GROUP BY 1
+FROM (
+  SELECT doc_id, b AS band_idx, substring(simhash, b * 16 + 1, 16) AS band_sig
+  FROM sig, (SELECT unnest(range(4)) AS b) bands
+)
+GROUP BY 1, 2
 """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 registered queries — the driver's correctness artifact
+    records at most 50 rows (round-4 verdict: 57 registered left 7
+    unverified), so the registry is consolidated to fit: redundant rows
+    were folded into stronger combined checks (see the per-function
+    docstrings) rather than dropped."""
     return {
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_revenue,
         "broadcast_dim_join": _broadcast_dim_join,
-        "semi_join_active_customers": _semi_join_active_customers,
-        "anti_join_idle_customers": _anti_join_idle_customers,
+        "customer_order_activity": _customer_order_activity,
         "window_latest_order": _window_latest_order,
         "topk_orders": _topk_orders,
         "distinct_parts_per_flag": _distinct_parts_per_flag,
@@ -2434,24 +2484,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_explode": _doc_line_explode,
         "field_grammar_columns": _field_grammar_columns,
         "salted_source_stats": _salted_source_stats,
-        "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_gopher_quality": _doc_gopher_quality,
         "doc_repetition": _doc_repetition,
         "doc_url_canonical": _doc_url_canonical,
-        "doc_stopword_ratio": _doc_stopword_ratio,
-        "doc_regex_scan": _doc_regex_scan,
         "doc_fingerprint_dedup": _doc_fingerprint_dedup,
-        "doc_levenshtein": _doc_levenshtein,
         "doc_ngram_jaccard": _doc_ngram_jaccard,
         "doc_minhash_lsh": _doc_minhash_lsh,
         "doc_dedup_clusters": _doc_dedup_clusters,
         "doc_repeated_paragraphs": _doc_repeated_paragraphs,
+        "doc_substring_dedup": _doc_substring_dedup,
         "emb_cosine_topk": _emb_cosine_topk,
-        "emb_sign_buckets": _emb_sign_buckets,
-        "emb_ivf_lists": _emb_ivf_lists,
         "emb_pq_codes": _emb_pq_codes,
         "sketch_hll_registers": _sketch_hll_registers,
+        "sketch_hll_estimate": _sketch_hll_estimate,
         "emb_pq_topk": _emb_pq_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_ivf_kmeans": _emb_ivf_kmeans,
@@ -2464,10 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_roundtrip": _doc_pdf_roundtrip,
         "doc_html_roundtrip": _doc_html_roundtrip,
         "doc_spans": _doc_spans,
-        "doc_simhash": _doc_simhash,
         "doc_simhash_bands": _doc_simhash_bands,
         "doc_winnowing": _doc_winnowing,
-        "emb_near_dup": _emb_near_dup,
         "emb_near_dup_auto": _emb_near_dup_auto,
         "emb_near_dup_multiband": _emb_near_dup_multiband,
         "doc_bpe_tokens": _doc_bpe_tokens,
@@ -2497,8 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_SQL,
         "q3_top_revenue": _Q3_SQL,
         "broadcast_dim_join": _BROADCAST_SQL,
-        "semi_join_active_customers": _SEMI_SQL,
-        "anti_join_idle_customers": _ANTI_SQL,
+        "customer_order_activity": _CUSTOMER_ACTIVITY_SQL,
         "window_latest_order": _WINDOW_SQL,
         "topk_orders": _TOPK_SQL,
         "distinct_parts_per_flag": _DISTINCT_SQL,
@@ -2514,25 +2557,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_explode": _EXPLODE_SQL,
         "field_grammar_columns": _FIELD_GRAMMAR_SQL,
         "salted_source_stats": _SALTED_SQL,
-        "doc_token_stats": _DOC_TOKENS_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_gopher_quality": _DOC_GOPHER_SQL,
         "doc_repetition": _DOC_REPETITION_SQL,
         "doc_url_canonical": _DOC_URL_SQL,
-        "doc_stopword_ratio": _DOC_STOPWORD_SQL,
-        "doc_regex_scan": _DOC_REGEX_SQL,
         "doc_fingerprint_dedup": _DOC_DEDUP_SQL,
-        "doc_levenshtein": _DOC_LEV_SQL,
         "doc_ngram_jaccard": _DOC_JACCARD_SQL,
         "doc_minhash_lsh": _DOC_MINHASH_SQL,
         "doc_dedup_clusters": _DOC_CLUSTERS_SQL,
         "doc_repeated_paragraphs": _DOC_REPEATED_PARAS_SQL,
+        "doc_substring_dedup": _DOC_SUBSTRING_SQL,
         "doc_spans": _DOC_SPANS_SQL,
         "emb_cosine_topk": _emb_cosine_topk_sql(),
-        "emb_sign_buckets": _EMB_BUCKETS_SQL,
-        "emb_ivf_lists": _emb_ivf_lists_sql(),
         "emb_pq_codes": _emb_pq_codes_sql(),
         "sketch_hll_registers": _SKETCH_HLL_SQL,
+        "sketch_hll_estimate": _sketch_hll_est_sql(),
         "emb_pq_topk": _emb_pq_topk_sql(),
         "emb_ivf_topk": _emb_ivf_topk_sql(),
         "emb_ivf_kmeans": _emb_kmeans_sql(),
@@ -2540,10 +2579,8 @@ def oracle_sql() -> dict[str, str]:
         "img_pdf_raster": _pdf_raster_sql(),
         "img_preocr_chain": _img_preocr_sql(),
         "emb_label_centroid": _EMB_CENTROID_SQL,
-        "doc_simhash": _DOC_SIMHASH_SQL,
         "doc_simhash_bands": _DOC_SIMHASH_BANDS_SQL,
         "doc_winnowing": _DOC_WINNOW_SQL,
-        "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_auto": _EMB_NEAR_DUP_AUTO_SQL,
         "emb_near_dup_multiband": _EMB_NEAR_DUP_MULTIBAND_SQL,
         "doc_bpe_tokens": _doc_bpe_sql(),

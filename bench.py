@@ -147,7 +147,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "doc_minhash_lsh",
         "emb_cosine_topk",
     ]
-    qs = entry.queries()
+    # doc_token_stats was deregistered from queries() in round 5 (50-row
+    # driver cap) but stays benched for timing-series continuity
+    qs = {**entry.queries(), "doc_token_stats": entry._doc_token_stats}
     for name in bench_queries:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()

@@ -68,3 +68,69 @@ def hll_estimate(register_rows, m: int = HLL_M) -> float:
     if raw <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return raw
+
+
+# the shared estimator arithmetic, spelled ONCE as engine-neutral SQL so
+# the Spark query (selectExpr) and the DuckDB oracle evaluate the exact
+# same double-precision expression tree: the denominator is an
+# integer-exact sum (each register contributes 2^(53-reg), zeros
+# contribute 2^53 — max 256*2^53 = 2^61, inside BIGINT), so the only
+# floating-point steps are one cast, the literal alpha arithmetic, and
+# ln() in the linear-counting branch, all in identical order.
+#
+# every fractional literal carries E0: a bare `0.7213` parses as
+# DECIMAL in Spark SQL (decimal division semantics would silently
+# diverge from DuckDB's double math); `0.7213E0` is DOUBLE in both.
+HLL_ESTIMATE_SQL_EXPR = (
+    "CASE WHEN ({m} - nonzero_buckets) > 0 AND "
+    "(0.7213E0 / (1.0E0 + 1.079E0 / {m}.0E0)) * {m2}.0E0 * 9007199254740992.0E0 "
+    "/ denom_scaled <= {lin}.0E0 "
+    "THEN round({m}.0E0 * ln({m}.0E0 / ({m} - nonzero_buckets)), 4) "
+    "ELSE round((0.7213E0 / (1.0E0 + 1.079E0 / {m}.0E0)) * {m2}.0E0 * 9007199254740992.0E0 "
+    "/ denom_scaled, 4) END"
+).format(m=HLL_M, m2=HLL_M * HLL_M, lin=int(2.5 * HLL_M))
+
+
+def hll_estimate_row(df: DataFrame, value_col: str) -> DataFrame:
+    """ONE-row distributed cardinality estimate (Flajolet et al. 2007
+    with the linear-counting small-range correction), plus the exact
+    distinct count for side-by-side comparison.  All heavy work —
+    hashing, per-bucket max, the distinct count — is distributed; the
+    estimator itself is constant-size arithmetic over a 256-register
+    aggregate.
+
+    Cross-engine determinism: summing ``2.0**-register`` directly would
+    be partition-order-dependent in the last ulp, so the denominator is
+    accumulated as the INTEGER ``sum(2^(53-register))`` (exact,
+    order-independent) and only then divided — see
+    ``HLL_ESTIMATE_SQL_EXPR``, which the DuckDB oracle evaluates
+    verbatim."""
+    regs = hll_register_rows(df, value_col)
+    scaled = regs.agg(
+        F.count("*").cast("bigint").alias("nonzero_buckets"),
+        # pyspark's shiftleft() only takes a literal shift; the SQL form
+        # accepts a column expression
+        F.sum(F.expr(f"shiftleft(cast(1 AS bigint), {_REM_BITS + 1} - register)"))
+        .cast("bigint")
+        .alias("present_scaled"),
+    )
+    exact = df.agg(F.count_distinct(F.col(value_col)).cast("bigint").alias("exact_distinct"))
+    return (
+        scaled.crossJoin(exact)
+        .withColumn(
+            "denom_scaled",
+            (
+                (F.lit(HLL_M) - F.col("nonzero_buckets"))
+                * F.lit(1 << (_REM_BITS + 1)).cast("bigint")
+                + F.col("present_scaled")
+            ).cast("bigint"),
+        )
+        .selectExpr(
+            f"{HLL_M} AS m",
+            "nonzero_buckets",
+            f"cast({HLL_M} - nonzero_buckets AS bigint) AS zero_buckets",
+            "denom_scaled",
+            f"cast({HLL_ESTIMATE_SQL_EXPR} AS double) AS hll_estimate",
+            "exact_distinct",
+        )
+    )

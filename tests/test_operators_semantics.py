@@ -504,3 +504,72 @@ def test_canonical_url_fragment_query_not_leaked(session):
     assert got["a"] == "https://ex.com/page"
     assert got["b"] == "https://ex.com/page"  # same dedup key
     assert got["c"] == "https://ex.com/page?real=1"
+
+
+def test_duplicated_substring_spans_semantics(session):
+    """Rolling-window substring dedup on a hand-built corpus: two docs
+    share a 6-token passage mid-text (window=4 → 3 shared windows each,
+    merged to ONE maximal span over the passage), boundary windows that
+    straddle doc-specific context stay unflagged, a doc with no shared
+    span emits nothing, and an exact-dup pair flags end to end."""
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    passage = "p0 p1 p2 p3 p4 p5"
+    rows = [
+        (1, f"a0 a1 {passage} a2 a3"),
+        (2, f"b0 b1 b2 {passage} b4"),
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7"),
+        (10, "d0 d1 d2 d3 d4 d5"),
+        (11, "d0 d1 d2 d3 d4 d5"),
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_substring_spans(df, window=4).collect()
+    }
+    # doc 1: passage tokens at 2..7 → windows at pos 2,3,4 → span 2..7
+    # doc 2: passage tokens at 3..8 → windows at pos 3,4,5 → span 3..8
+    # docs 10/11: 6 tokens, windows 0,1,2 all shared → span 0..5
+    assert got == {1: (2, 7, 3), 2: (3, 8, 3), 10: (0, 5, 3), 11: (0, 5, 3)}
+    assert 3 not in got
+
+
+def test_duplicated_substring_spans_distinct_islands(session):
+    """Two disjoint shared passages in one doc produce TWO spans (the
+    gaps-and-islands merge must not bridge the gap)."""
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    p1, p2 = "x0 x1 x2 x3", "y0 y1 y2 y3"
+    rows = [
+        (1, f"{p1} g0 g1 g2 g3 g4 {p2}"),
+        (2, f"m0 {p1} m1 m2 m3 m4 m5 {p2} m6"),
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_substring_spans(df, window=4).collect()
+    )
+    assert spans == [(1, 0, 3), (1, 9, 12), (2, 1, 4), (2, 10, 13)]
+
+
+def test_hll_estimate_row_branches(session):
+    """The single-row estimator DataFrame: small cardinality takes the
+    linear-counting branch, large takes the raw harmonic branch, and
+    both agree with the driver-side hll_estimate to the 4-dp round."""
+    import math
+
+    from ocr_api_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_estimate_row,
+        hll_register_rows,
+    )
+
+    for n in (100, 5000):  # 100 < 2.5m=640 < 5000
+        df = session.createDataFrame([(f"v{i}",) for i in range(n)], "v string")
+        row = hll_estimate_row(df, "v").collect()[0]
+        assert row["m"] == HLL_M and row["exact_distinct"] == n
+        assert row["nonzero_buckets"] + row["zero_buckets"] == HLL_M
+        regs = [(r["bucket"], r["register"]) for r in hll_register_rows(df, "v").collect()]
+        assert math.isclose(row["hll_estimate"], round(hll_estimate(regs), 4), abs_tol=1e-3)
+        assert abs(row["hll_estimate"] - n) / n < 0.25
