@@ -336,21 +336,33 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "doc_id",
     max_iters: int = 30,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Cluster near-dup pairs into components — the step between pair
     generation and "keep one doc per cluster" that an actual dedup run
-    needs.  Deterministic min-label propagation: every node starts as
-    its own label; each round takes the min over its neighbours'
-    labels; fixpoint (checked, not assumed) assigns every member the
-    component's smallest id as ``cluster_id``.
+    needs.  Two interchangeable engines behind one API:
 
-    Rounds needed = component diameter.  Near-dup clusters are
-    shallow (copies of one source document — diameter 2-3), so this
-    converges in a handful of bounded-shuffle rounds at any corpus
-    size; a pathological chain corpus would want the O(log n)
-    small-star/large-star variant, which this API admits as a drop-in.
-    Nodes absent from every pair keep themselves as singletons
-    (``cluster_id = doc_id``)."""
+    - ``label_prop`` (default): deterministic min-label propagation —
+      every node starts as its own label; each round takes the min over
+      its neighbours' labels; fixpoint (checked, not assumed) assigns
+      every member the component's smallest id.  Rounds needed =
+      component diameter: near-dup clusters are shallow (copies of one
+      source document — diameter 2-3), so this converges in a handful
+      of bounded-shuffle rounds at any corpus size, and each round is
+      one join + one agg — the cheapest per-round shape.
+    - ``star``: alternating small-star/large-star (Kiveris et al. 2014,
+      "Connected Components in MapReduce and Beyond") — O(log n) rounds
+      on ANY graph, including the pathological high-diameter chains
+      that exhaust label_prop's round budget.  Each round costs two
+      neighborhood aggregates + edge rewrites.
+
+    Both return the same frame and both fail loudly on round
+    exhaustion.  Nodes absent from every pair keep themselves as
+    singletons (``cluster_id = doc_id``)."""
+    if algorithm == "star":
+        return _connected_components_star(pairs, nodes, id_a, id_b, node_col, max_iters)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
@@ -368,13 +380,20 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nl"))
         )
+        # localCheckpoint, not cache: cache keeps the FULL logical plan,
+        # which doubles every round (each round references labels twice)
+        # — at a few dozen rounds merely *rendering* the plan for AQE
+        # OOMs the driver.  Checkpointing truncates lineage to the
+        # materialized blocks, so per-round plans stay constant-size;
+        # the context cleaner reclaims dropped rounds' blocks (r5, found
+        # by the pathological-chain test).
         new_labels = (
             labels.join(neigh, labels["id"] == neigh["src"], "left")
             .select(
                 F.col("id"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -382,7 +401,6 @@ def connected_components(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -391,22 +409,15 @@ def connected_components(
         # labels would split one real cluster into several 'canonical'
         # docs with no signal.  A component's diameter exceeding
         # max_iters means the corpus isn't the shallow near-dup shape —
-        # fail loudly and let the caller raise the budget.
+        # fail loudly and let the caller raise the budget (or switch to
+        # algorithm='star', whose round count is O(log n) not diameter).
         edges.unpersist()
-        labels.unpersist()
         raise ValueError(
             f"connected_components did not converge in {max_iters} rounds "
             f"({changed} labels still changing); raise max_iters"
         )
     edges.unpersist()
-    # hand the result back lineage-truncated, NOT as a pinned cache the
-    # caller can't release: localCheckpoint materializes the labels and
-    # lets the context cleaner reclaim the blocks once the returned
-    # frame is dropped, where the internal cache would leak one pinned
-    # RDD per call in a long-lived session (review r4b)
-    result = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return result.select(F.col("id").alias(node_col), F.col("lbl").alias("cluster_id"))
+    return labels.select(F.col("id").alias(node_col), F.col("lbl").alias("cluster_id"))
 
 
 def duplicated_substring_spans(
@@ -469,3 +480,80 @@ def duplicated_substring_spans(
         )
         .drop("grp")
     )
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str,
+    id_b: str,
+    node_col: str,
+    max_iters: int,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. 2014): each
+    round, large-star hangs every neighbor larger than a node off the
+    neighborhood minimum, then small-star re-hangs the smaller ones —
+    components contract onto their minimum in O(log n) rounds
+    regardless of diameter.  Convergence = the edge set is stable AND
+    already star-shaped (no edge's root is another edge's child), both
+    checked, never assumed.  Every round's frame is localCheckpoint'd:
+    the exceptAll fixpoint test would otherwise double the lineage each
+    iteration."""
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric neighborhood: m = min(N(u) ∪ u),
+        # every neighbor v > u re-attaches as (v, m)
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (larger → smaller) orientation: every
+        # strictly-smaller neighbor and the center re-attach to the min
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .where(F.col("n") != F.col("m"))
+            .select(F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = small.exceptAll(e).count() == 0 and e.exceptAll(small).count() == 0
+        is_star = (
+            small.alias("a")
+            .join(small.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .count()
+            == 0
+        )
+        e = small
+        if stable and is_star:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"star connected-components did not converge in {max_iters} rounds"
+        )
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("lbl"))
+    out = (
+        nodes.select(F.col(node_col).alias("id"))
+        .distinct()
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(node_col),
+            F.coalesce("lbl", F.col("id")).alias("cluster_id"),
+        )
+    )
+    return out.localCheckpoint(eager=True)

@@ -573,3 +573,43 @@ def test_hll_estimate_row_branches(session):
         regs = [(r["bucket"], r["register"]) for r in hll_register_rows(df, "v").collect()]
         assert math.isclose(row["hll_estimate"], round(hll_estimate(regs), 4), abs_tol=1e-3)
         assert abs(row["hll_estimate"] - n) / n < 0.25
+
+
+def test_star_cc_matches_label_prop_on_shallow_graph(session):
+    """Drop-in contract: both algorithms return identical clusters on
+    the normal near-dup shape."""
+    from ocr_api_spark.operators.dedup import connected_components
+
+    pairs = session.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12)], "id_a int, id_b int"
+    )
+    nodes = session.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]], "doc_id int")
+    lp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, algorithm="star").collect()
+    }
+    assert st == lp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_star_cc_converges_on_pathological_chain(session):
+    """A 100-node path has diameter 99: min-label propagation needs ~99
+    rounds (it must raise at the default 30-round budget — silent wrong
+    labels would be worse), while small-star/large-star contracts it in
+    O(log n) rounds within the same budget."""
+    import pytest as _pytest
+
+    from ocr_api_spark.operators.dedup import connected_components
+
+    n = 100
+    pairs = session.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a int, id_b int")
+    nodes = session.createDataFrame([(i,) for i in range(n)], "doc_id int")
+
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(pairs, nodes, max_iters=30)
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, max_iters=30, algorithm="star").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
