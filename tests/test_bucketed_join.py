@@ -66,3 +66,43 @@ def test_cobucketed_join_has_no_shuffle(session, tmp_path):
     # and it is correct
     n_claims = claims.count()
     assert joined.count() == n_claims
+
+
+def test_extraction_plan_cobucketed_claims_join_shuffle_free(session, tmp_path):
+    """The 10^12-row claims story (plans/pipeline.py: 'at scale disable
+    broadcast and co-bucket both tables') asserted on the REAL plan, not
+    just the docstring: extraction_plan(broadcast_claims=False) over
+    bucketBy-written pages+claims runs the url join as a shuffle-free
+    SortMergeJoin — the only Exchange-free way to join two 10^12-row
+    tables."""
+    from ocr_api_spark.plans.pipeline import extraction_plan
+    from ocr_api_spark.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path), n_rows=300, seed=23)
+    for name in ("pages_xb", "claims_xb"):
+        session.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        session.read.parquet(paths["pages"]).write.mode("overwrite")
+        .bucketBy(8, "url").sortBy("url")
+        .option("path", str(tmp_path / "pages_xb")).saveAsTable("pages_xb")
+    )
+    (
+        session.read.parquet(paths["claims"]).write.mode("overwrite")
+        .bucketBy(8, "url").sortBy("url")
+        .option("path", str(tmp_path / "claims_xb")).saveAsTable("claims_xb")
+    )
+
+    pages = session.table("pages_xb")
+    claims = session.table("claims_xb")
+    # n_parts=None: the pre-UDF repartition is the SMALL-cluster knob;
+    # the co-bucketed layout already gives both parallelism (one task
+    # per bucket) and sink alignment
+    out = extraction_plan(pages, claims, n_buckets=16, n_salts=4,
+                          n_parts=None, broadcast_claims=False)
+    plan = explain_str(out)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert ") Exchange" not in plan, plan
+
+    # and the plan actually runs: every page row survives the left join
+    assert out.count() == 300
