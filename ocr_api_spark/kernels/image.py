@@ -52,8 +52,43 @@ Chains (exact op order from the reference):
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
+
+# --- optional cv2 fast path --------------------------------------------------
+#
+# These kernels are parity-exact numpy ports OF cv2's own algorithms, so
+# where OpenCV is installed (production executors; not this container)
+# the hot chain functions route straight to cv2 — the same _try_cv2
+# pattern as the multimodal decoder (operators/multimodal.py).  The
+# numpy implementations remain the determinism reference and the
+# always-available fallback; tests/test_cv2_parity.py quantifies the
+# residual rounding differences where cv2 exists (cv2 quantizes
+# interpolation weights to fixed point where the ports accumulate in
+# float64 — documented ≤1-2 LSB divergences, see each docstring).
+# OCR_API_SPARK_DISABLE_CV2=1 forces the numpy path (set by the test
+# suite so golden pixel pins stay engine-independent).
+
+_CV2 = None
+_CV2_CHECKED = False
+
+
+def _cv2():
+    global _CV2, _CV2_CHECKED
+    if not _CV2_CHECKED:
+        _CV2_CHECKED = True
+        if os.environ.get("OCR_API_SPARK_DISABLE_CV2"):
+            _CV2 = None
+        else:
+            try:  # pragma: no cover - cv2 not in this container
+                import cv2 as _cv2_mod
+
+                _CV2 = _cv2_mod
+            except ImportError:
+                _CV2 = None
+    return _CV2
+
 
 # --- grayscale ---------------------------------------------------------------
 
@@ -117,12 +152,17 @@ def resize_cubic(
     fy: float | None = None,
 ) -> np.ndarray:
     """cv2.resize(..., interpolation=INTER_CUBIC).  ``dsize`` is (w, h)
-    like cv2; when None, dims scale by fx/fy with cvRound semantics."""
+    like cv2; when None, dims scale by fx/fy with cvRound semantics.
+    cv2 fast path where installed (≤1 LSB from the float64 port — cv2
+    quantizes the 4-tap weights to 2^-11 fixed point)."""
     h, w = img.shape[:2]
     if dsize is not None:
         out_w, out_h = dsize
     else:
         out_w, out_h = int(round(w * fx)), int(round(h * fy))
+    cv2 = _cv2()
+    if cv2 is not None:  # pragma: no cover - cv2 not in this container
+        return cv2.resize(img, (out_w, out_h), interpolation=cv2.INTER_CUBIC)
     out = img.astype(np.float64)
     out = _resize_cubic_axis(out, out_h, 0)
     out = _resize_cubic_axis(out, out_w, 1)
@@ -177,12 +217,17 @@ def gaussian_blur(
 ) -> np.ndarray:
     """cv2.GaussianBlur.  ``border``: numpy pad mode — "reflect" is
     cv2's BORDER_DEFAULT (REFLECT_101), "edge" is BORDER_REPLICATE
-    (what adaptiveThreshold uses internally)."""
+    (what adaptiveThreshold uses internally).  cv2 fast path where
+    installed (≤1 LSB: cv2 runs fixed-point row/column filters on 8U)."""
     kw, kh = ksize
     if kw <= 0:
         kw = _auto_ksize(sigma)
     if kh <= 0:
         kh = _auto_ksize(sigma)
+    cv2 = _cv2()
+    if cv2 is not None:  # pragma: no cover - cv2 not in this container
+        border_type = cv2.BORDER_REPLICATE if border == "edge" else cv2.BORDER_DEFAULT
+        return cv2.GaussianBlur(img, (kw, kh), sigma, borderType=border_type)
     kx = gaussian_kernel_1d(kw, sigma)
     ky = gaussian_kernel_1d(kh, sigma)
     out = _sep_conv(img.astype(np.float64), ky, axis=0, pad_mode=border)
@@ -200,7 +245,17 @@ def adaptive_threshold_gaussian(
     — app.py:1774.  Threshold surface = Gaussian-weighted neighborhood
     mean rounded to uint8, minus C.  cv2 conventions: the internal blur
     pads with BORDER_REPLICATE (not the blur default REFLECT_101), and
-    THRESH_BINARY uses cvCeil(C)."""
+    THRESH_BINARY uses cvCeil(C).  cv2 fast path where installed."""
+    cv2 = _cv2()
+    if cv2 is not None:  # pragma: no cover - cv2 not in this container
+        return cv2.adaptiveThreshold(
+            gray,
+            max_value,
+            cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+            cv2.THRESH_BINARY,
+            block_size,
+            C,
+        )
     mean = gaussian_blur(gray, (block_size, block_size), 0.0, border="edge")
     idelta = int(math.ceil(C))
     return np.where(
@@ -300,9 +355,14 @@ def clahe(
 ) -> np.ndarray:
     """cv2.createCLAHE(clipLimit, tileGridSize).apply — app.py:5387-5388.
     Grayscale only; cv2 raises on color input and so do we (the
-    ``preprocess_for_osd`` quirk relies on this)."""
+    ``preprocess_for_osd`` quirk relies on this).  cv2 fast path where
+    installed (same algorithm — this is a port of cv2's; cv2
+    interpolates between tile LUTs in fixed point, ≤1 LSB apart)."""
     if gray.ndim != 2:
         raise ValueError("CLAHE requires a single-channel image (cv2 parity)")
+    cv2 = _cv2()
+    if cv2 is not None:  # pragma: no cover - cv2 not in this container
+        return cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=tile_grid).apply(gray)
     tiles_x, tiles_y = tile_grid
     h, w = gray.shape
     pad_y = (-h) % tiles_y
@@ -369,8 +429,21 @@ def warp_affine(
     border_value: float | tuple = 255,
 ) -> np.ndarray:
     """cv2.warpAffine, INTER_LINEAR, BORDER_CONSTANT.  ``M`` maps src→dst
-    (cv2 convention); sampling inverts it."""
+    (cv2 convention); sampling inverts it.  cv2 fast path where
+    installed (cv2 samples with 5-bit fixed-point fractions — ≤2 LSB
+    from the float64 port on smooth gradients)."""
     out_w, out_h = dsize
+    cv2 = _cv2()
+    if cv2 is not None:  # pragma: no cover - cv2 not in this container
+        bv = border_value if np.isscalar(border_value) else tuple(float(v) for v in border_value)
+        return cv2.warpAffine(
+            img,
+            np.asarray(M, dtype=np.float64),
+            (out_w, out_h),
+            flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT,
+            borderValue=bv,
+        )
     full = np.vstack([M, [0.0, 0.0, 1.0]])
     inv = np.linalg.inv(full)
     ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
