@@ -15,6 +15,10 @@ approximation — the dominant web-JPEG form):
   sampling-factor plane assembly with replication chroma upsample,
   JFIF YCbCr→BGR (the cv2 convention the rest of the image branch
   uses, like ``cv2.imdecode`` in the reference flow, app.py:419-443).
+  Adobe 4-component streams (print-pipeline scans) decode too: APP14
+  transform 2 = YCCK (inverse YCbCr on the ink channels, K pass), 0 or
+  no marker = straight CMYK; both convert inverted-ink Adobe values to
+  BGR via RGB = CMY·K/255.
 - ``encode_jpeg``: the matching fixture writer — Annex K quantization
   (quality-scaled, libjpeg's public formula) and Huffman tables,
   4:4:4 or 2×2-subsampled 4:2:0, restart intervals, and a
@@ -473,11 +477,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if height * width > _MAX_PIXELS:
                 raise JpegError(f"frame {width}x{height} exceeds the pixel cap")
             ncomp = seg[5]
-            # only gray/YCbCr frames are reconstructable here, so reject
-            # other counts BEFORE allocating coefficient planes — a
-            # corrupt 255-component SOF would otherwise allocate ~66 GB
+            # only gray/YCbCr/CMYK(YCCK) frames are reconstructable, so
+            # reject other counts BEFORE allocating coefficient planes —
+            # a corrupt 255-component SOF would otherwise allocate ~66 GB
             # under the pixel cap (review finding, reproduced)
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise JpegError(f"{ncomp}-component frame unsupported")
             comps = []
             for ci in range(ncomp):
@@ -1012,6 +1016,26 @@ def _reconstruct(frame, quant, coeffs, adobe_transform=None):
 
     if len(comps) == 1:
         return planes[comps[0][0]]
+    if len(comps) == 4:
+        # Adobe 4-component: APP14 transform 2 = YCCK (the C,M,Y inks
+        # ride a YCbCr transform; K passes through), transform 0 or no
+        # marker = straight CMYK.  Adobe writers store INVERTED ink
+        # (255 = no ink), so RGB = stored_CMY * stored_K / 255 — the
+        # libjpeg/Ghostscript convention; output is BGR like the
+        # 3-component path.
+        p = [planes[c[0]].astype(np.float64) for c in comps]
+        if adobe_transform == 2:
+            y, cb, cr = p[0], p[1] - 128.0, p[2] - 128.0
+            c = np.clip(np.round(y + 1.402 * cr), 0, 255)
+            m = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+            ylw = np.clip(np.round(y + 1.772 * cb), 0, 255)
+        else:
+            c, m, ylw = p[0], p[1], p[2]
+        k = p[3]
+        r = c * k / 255.0
+        g = m * k / 255.0
+        b = ylw * k / 255.0
+        return np.clip(np.round(np.dstack([b, g, r])), 0, 255).astype(np.uint8)
     if len(comps) != 3:
         raise JpegError(f"{len(comps)}-component frame unsupported")
     if adobe_transform == 0:
@@ -1104,15 +1128,23 @@ def _encode_block(bw, coefs, pred, dc_enc, ac_enc):
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
-                restart_interval: int = 0, progressive: bool = False) -> bytes:
-    """uint8 array (2-D gray or H×W×3 BGR) → JFIF bytes.
-    ``subsample=True`` writes 4:2:0 (2×2 chroma), else 4:4:4.
-    ``progressive=True`` emits SOF2 with a spectral-selection scan
-    script (DC scan, then per-component 1-63 AC bands); restart
-    intervals apply to the baseline form only."""
+                restart_interval: int = 0, progressive: bool = False,
+                ycck: bool = False) -> bytes:
+    """uint8 array (2-D gray, H×W×3 BGR, or H×W×4 Adobe-inverted CMYK)
+    → JFIF bytes.  ``subsample=True`` writes 4:2:0 (2×2 chroma), else
+    4:4:4.  ``progressive=True`` emits SOF2 with a spectral-selection
+    scan script (DC scan, then per-component 1-63 AC bands); restart
+    intervals apply to the baseline form only.
+
+    4-channel input is Adobe CMYK with INVERTED ink values (255 = no
+    ink, the convention Adobe writers emit); an APP14 marker records the
+    transform — ``ycck=True`` routes the C,M,Y channels through the
+    YCbCr transform (APP14 transform 2), else they store raw (transform
+    0).  Subsampling is 4:4:4-only for 4-component streams."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
-    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+    cmyk = a.ndim == 3 and a.shape[2] == 4
+    if not gray and not cmyk and (a.ndim != 3 or a.shape[2] != 3):
         raise JpegError(f"unsupported array shape {a.shape}")
     height, width = a.shape[0], a.shape[1]
     if height == 0 or width == 0:
@@ -1121,10 +1153,28 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
     ql = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
 
+    adobe_transform = None
     if gray:
         planes = [a.astype(np.float64) - 128.0]
         samp = [(1, 1)]
         qsel = [0]
+    elif cmyk:
+        c = a[:, :, 0].astype(np.float64)
+        m = a[:, :, 1].astype(np.float64)
+        ylw = a[:, :, 2].astype(np.float64)
+        k = a[:, :, 3].astype(np.float64)
+        if ycck:
+            y = 0.299 * c + 0.587 * m + 0.114 * ylw
+            cb = -0.168736 * c - 0.331264 * m + 0.5 * ylw + 128.0
+            cr = 0.5 * c - 0.418688 * m - 0.081312 * ylw + 128.0
+            planes = [y - 128.0, cb - 128.0, cr - 128.0, k - 128.0]
+            qsel = [0, 1, 1, 0]
+            adobe_transform = 2
+        else:
+            planes = [c - 128.0, m - 128.0, ylw - 128.0, k - 128.0]
+            qsel = [0, 0, 0, 0]
+            adobe_transform = 0
+        samp = [(1, 1)] * 4
     else:
         b, g, r = a[:, :, 0].astype(np.float64), a[:, :, 1].astype(np.float64), a[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -1169,7 +1219,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
     ac_luma_enc = _build_huffman_encoder(AC_LUMA_COUNTS, AC_LUMA_SYMBOLS)
     dc_chroma_enc = _build_huffman_encoder(DC_CHROMA_COUNTS, DC_CHROMA_SYMBOLS)
     ac_chroma_enc = _build_huffman_encoder(AC_CHROMA_COUNTS, AC_CHROMA_SYMBOLS)
-    encs = [(dc_luma_enc, ac_luma_enc)] + [(dc_chroma_enc, ac_chroma_enc)] * (len(samp) - 1)
+    # table selection follows the quant selection: luma tables for the
+    # achromatic planes (Y / C,M,Y,K raw / K), chroma for Cb/Cr
+    encs = [
+        (dc_luma_enc, ac_luma_enc) if q == 0 else (dc_chroma_enc, ac_chroma_enc)
+        for q in qsel
+    ]
 
     ncomp = len(samp)
     scans: list[tuple[bytes, bytes]] = []  # (SOS body, entropy bytes)
@@ -1177,7 +1232,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
     def sos_body(comp_sel: list[int], ss: int, se: int) -> bytes:
         body = bytes([len(comp_sel)])
         for ci in comp_sel:
-            body += bytes([ci + 1, 0 if ci == 0 else 0x11])
+            body += bytes([ci + 1, 0x00 if qsel[ci] == 0 else 0x11])
         return body + bytes([ss, se, 0])
 
     if progressive:
@@ -1237,8 +1292,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
         return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(int(x) for x in tbl)
 
     out += dqt(0, ql)
-    if not gray:
+    if any(q == 1 for q in qsel):
         out += dqt(1, qc)
+
+    if adobe_transform is not None:
+        # APP14 'Adobe' v100, flags 0, transform byte last
+        out += (
+            b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+            + bytes([0, 100, 0, 0, 0, 0, adobe_transform])
+        )
 
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
     for ci in range(ncomp):
@@ -1252,7 +1314,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
 
     out += dht(0, 0, DC_LUMA_COUNTS, DC_LUMA_SYMBOLS)
     out += dht(1, 0, AC_LUMA_COUNTS, AC_LUMA_SYMBOLS)
-    if not gray:
+    if any(q == 1 for q in qsel):
         out += dht(0, 1, DC_CHROMA_COUNTS, DC_CHROMA_SYMBOLS)
         out += dht(1, 1, AC_CHROMA_COUNTS, AC_CHROMA_SYMBOLS)
 

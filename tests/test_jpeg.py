@@ -270,3 +270,76 @@ def test_w16_gate_fallback_decodes_identically(monkeypatch):
         slow = J.decode_jpeg(jb)
         monkeypatch.undo()
         assert np.array_equal(fast, slow), progressive
+
+
+def test_cmyk_roundtrip_flat_exact():
+    """Adobe 4-component CMYK (transform 0): flat blocks survive the
+    DCT exactly, so decode(encode(cmyk)) equals the documented
+    inverted-ink conversion BGR = stored_CMY * stored_K / 255."""
+    c, m, y, k = 200, 150, 100, 250
+    img = np.dstack([np.full((24, 40), v, np.uint8) for v in (c, m, y, k)])
+    out = decode_jpeg(encode_jpeg(img, quality=85))
+    assert out.shape == (24, 40, 3)
+    expect = [round(y * k / 255.0), round(m * k / 255.0), round(c * k / 255.0)]  # B,G,R
+    assert np.abs(out[0, 0].astype(int) - expect).max() <= 1, (out[0, 0], expect)
+    assert (out == out[0, 0]).all()
+
+
+def test_ycck_roundtrip_matches_cmyk():
+    """APP14 transform 2 (YCCK): same pixels ride the YCbCr transform
+    on the ink channels — decoding must land on the same BGR as the
+    raw-CMYK form within DCT rounding."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(60, 200, (6, 9), dtype=np.uint8)
+    img = np.stack(
+        [np.kron(base, np.ones((8, 8), np.uint8)) for _ in range(4)], axis=2
+    )
+    img[:, :, 1] = np.roll(img[:, :, 1], 8, axis=0)
+    img[:, :, 3] |= 0x80  # keep K ink light so products stay mid-range
+    raw = decode_jpeg(encode_jpeg(img, quality=95))
+    ycc = decode_jpeg(encode_jpeg(img, quality=95, ycck=True))
+    assert raw.shape == ycc.shape == (48, 72, 3)
+    assert np.abs(raw.astype(int) - ycc.astype(int)).max() <= 4
+
+
+def test_cmyk_gradient_roundtrip_psnr():
+    h, w = 33, 47  # non-multiple-of-8 dims
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            ((yy + xx) * 255 // (h + w - 2)).astype(np.uint8),
+            np.full((h, w), 230, np.uint8),
+        ]
+    )
+    for ycck in (False, True):
+        out = decode_jpeg(encode_jpeg(img, quality=92, ycck=ycck))
+        c, m, y, k = (img[:, :, i].astype(np.float64) for i in range(4))
+        expect = np.clip(
+            np.round(np.dstack([y * k, m * k, c * k]) / 255.0), 0, 255
+        ).astype(np.uint8)
+        assert out.shape == expect.shape
+        assert _psnr(expect, out) > 34, ycck
+
+
+def test_cmyk_progressive_matches_baseline():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(encode_jpeg(img, quality=85, progressive=True))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_cmyk_without_app14_reads_as_raw_cmyk():
+    """No Adobe marker on a 4-component stream → straight CMYK (the
+    libjpeg default guess); stripping our APP14 must not change the
+    transform-0 result."""
+    import struct
+
+    img = np.dstack([np.full((16, 16), v, np.uint8) for v in (180, 90, 60, 240)])
+    data = encode_jpeg(img, quality=95)
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])
+    assert app14 in data
+    stripped = data.replace(app14, b"")
+    np.testing.assert_array_equal(decode_jpeg(stripped), decode_jpeg(data))
