@@ -446,6 +446,13 @@ def duplicated_substring_spans(
     content-defined chunking variant drops its volume by the stride
     factor at a recall cost, which is the documented scale knob.
 
+    Plan note: expressed lazily, Catalyst computes the window-hash
+    projection twice (count side + probe side of the join back).  At
+    corpus scale a run materializes the (doc, pos, whash) table once to
+    its own parquet/cache first — the same pattern bench.py uses for
+    the minhash signature table — halving the heavy stage; the operator
+    itself stays composition-friendly (no hidden persist).
+
     Returns (id_col, span_start, span_end, n_windows): token offsets,
     0-based, ``span_end`` inclusive of the last token of the last
     flagged window."""
