@@ -139,9 +139,14 @@ def _resize_cubic_axis(img: np.ndarray, out_len: int, axis: int) -> np.ndarray:
     w = _cubic_weights(x - x0)  # (out, 4)
     idx = np.clip(x0[:, None] + np.arange(-1, 3)[None, :], 0, in_len - 1)  # (out, 4)
     moved = np.moveaxis(img, axis, 0)  # (in, ...)
-    gathered = moved[idx]  # (out, 4, ...)
-    w_shaped = w.reshape(w.shape + (1,) * (gathered.ndim - 2))
-    out = (gathered * w_shaped).sum(axis=1)
+    # accumulate tap-by-tap instead of materializing the (out, 4, ...)
+    # gather (a 4x peak-memory copy that measured ~40% of the resize):
+    # t0+t1+t2+t3 is numpy's own reduction order for a length-4 axis
+    # sum, so the result is bit-identical to the gathered form
+    wt = [w[:, t].reshape((out_len,) + (1,) * (moved.ndim - 1)) for t in range(4)]
+    out = moved[idx[:, 0]] * wt[0]
+    for t in range(1, 4):
+        out += moved[idx[:, t]] * wt[t]
     return np.moveaxis(out, 0, axis)
 
 
@@ -387,20 +392,40 @@ def clahe(
     txf = xs / tw - 0.5
     ty1 = np.floor(tyf).astype(np.int64)
     tx1 = np.floor(txf).astype(np.int64)
-    ya = (tyf - ty1)[:, None]
-    xa = (txf - tx1)[None, :]
-    ty1c = np.clip(ty1, 0, tiles_y - 1)
-    ty2c = np.clip(ty1 + 1, 0, tiles_y - 1)
-    tx1c = np.clip(tx1, 0, tiles_x - 1)
-    tx2c = np.clip(tx1 + 1, 0, tiles_x - 1)
+    ya_row = tyf - ty1
+    xa_col = txf - tx1
 
-    v = padded.astype(np.int64)
-    tl = luts[ty1c[:, None], tx1c[None, :], v].astype(np.float64)
-    tr = luts[ty1c[:, None], tx2c[None, :], v].astype(np.float64)
-    bl = luts[ty2c[:, None], tx1c[None, :], v].astype(np.float64)
-    br = luts[ty2c[:, None], tx2c[None, :], v].astype(np.float64)
-    out = (tl * (1 - xa) + tr * xa) * (1 - ya) + (bl * (1 - xa) + br * xa) * ya
-    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    # region-wise blend: (ty1, tx1) is piecewise constant over
+    # (tiles+1)² rectangular bands, so within a band the four LUTs are
+    # FIXED 256-entry tables — four tiny lookups per band replace four
+    # full-image advanced-index gathers over the (tiles_y, tiles_x, 256)
+    # cube (which measured ~60% of clahe).  The per-pixel blend
+    # expression is evaluated with identical operand order and values,
+    # so the output is bit-identical to the gathered form.
+    out = np.empty((ph, pw), dtype=np.uint8)
+    row_starts = np.searchsorted(ty1, np.arange(-1, tiles_y), side="left")
+    row_bounds = list(row_starts) + [ph]
+    col_starts = np.searchsorted(tx1, np.arange(-1, tiles_x), side="left")
+    col_bounds = list(col_starts) + [pw]
+    for bi, b in enumerate(range(-1, tiles_y)):
+        r0, r1 = row_bounds[bi], row_bounds[bi + 1]
+        if r0 == r1:
+            continue
+        t1, t2 = max(b, 0), min(b + 1, tiles_y - 1)
+        ya = ya_row[r0:r1, None]
+        for ci, c in enumerate(range(-1, tiles_x)):
+            c0, c1 = col_bounds[ci], col_bounds[ci + 1]
+            if c0 == c1:
+                continue
+            l1, l2 = max(c, 0), min(c + 1, tiles_x - 1)
+            vreg = padded[r0:r1, c0:c1]
+            tl = luts[t1, l1][vreg].astype(np.float64)
+            tr = luts[t1, l2][vreg].astype(np.float64)
+            bl = luts[t2, l1][vreg].astype(np.float64)
+            br = luts[t2, l2][vreg].astype(np.float64)
+            xa = xa_col[None, c0:c1]
+            blend = (tl * (1 - xa) + tr * xa) * (1 - ya) + (bl * (1 - xa) + br * xa) * ya
+            out[r0:r1, c0:c1] = np.clip(np.rint(blend), 0, 255).astype(np.uint8)
     return out[:h, :w]
 
 
@@ -446,6 +471,31 @@ def warp_affine(
         )
     full = np.vstack([M, [0.0, 0.0, 1.0]])
     inv = np.linalg.inv(full)
+    if np.allclose(inv[:2], np.rint(inv[:2]), atol=1e-9):
+        # integer affine map (every right-angle OSD rotation lands here:
+        # Tesseract only ever reports 0/90/180/270): each output pixel
+        # reads exactly ONE source pixel, so the 4-tap bilinear blend
+        # degenerates — one gather replaces four samples + weighting,
+        # byte-identical (the residual fractional weights are ~1e-13,
+        # far below the rint rounding step on integer samples).
+        ii = np.rint(inv[:2]).astype(np.int64)
+        ys, xs = np.mgrid[0:out_h, 0:out_w]
+        sxi = ii[0, 0] * xs + ii[0, 1] * ys + ii[0, 2]
+        syi = ii[1, 0] * xs + ii[1, 1] * ys + ii[1, 2]
+        h, w = img.shape[:2]
+        valid = (syi >= 0) & (syi < h) & (sxi >= 0) & (sxi < w)
+        out = img[np.clip(syi, 0, h - 1), np.clip(sxi, 0, w - 1)]
+        if np.isscalar(border_value):
+            bvals = np.uint8(np.clip(round(float(border_value)), 0, 255))
+        else:
+            channels = img.shape[2] if img.ndim == 3 else 1
+            bvals = np.clip(
+                np.rint(np.asarray(border_value, dtype=np.float64)[:channels]), 0, 255
+            ).astype(np.uint8)
+            if img.ndim == 2:
+                bvals = bvals[0]
+        out[~valid] = bvals
+        return out
     ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
     sx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
     sy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
