@@ -54,15 +54,23 @@ def _synth_pages(sf: float, seed: int = 42) -> str:
 _STAT0 = None
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(total, steal) jiffies from /proc/stat — the ONE cpu-line reader
+    both the run-level gate and the per-window kernel gate share."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (sum(vals), vals[7] if len(vals) > 7 else 0)
+    except Exception:  # pragma: no cover
+        return None
+
+
 def _steal_pct() -> float | None:
     """host steal share since the bench started (shared-VM noise marker
     — throughput numbers from high-steal windows are not comparable)."""
     global _STAT0
-    try:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-        cur = (sum(vals), vals[7] if len(vals) > 7 else 0)
-    except Exception:  # pragma: no cover
+    cur = _cpu_jiffies()
+    if cur is None:  # pragma: no cover
         return None
     if _STAT0 is None:
         _STAT0 = cur
@@ -251,14 +259,6 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from ocr_api_spark.kernels.jpeg import decode_jpeg, encode_jpeg
     from ocr_api_spark.kernels.png import decode_png, encode_png
 
-    def _stat_now():
-        try:
-            with open("/proc/stat") as f:
-                vals = [int(x) for x in f.readline().split()[1:]]
-            return (sum(vals), vals[7] if len(vals) > 7 else 0)
-        except Exception:  # pragma: no cover
-            return None
-
     def best_rate(fn, reps: int, groups: int = 6) -> float:
         # peak single-core capability: best of `groups` CLEAN timed
         # groups.  One ambient scheduling blip must not masquerade as a
@@ -272,13 +272,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         clean = attempts = 0
         while clean < groups and attempts < groups * 3:
             attempts += 1
-            s0 = _stat_now()
+            s0 = _cpu_jiffies()
             t0 = time.time()
             for _ in range(reps):
                 fn()
             dt = time.time() - t0
             best_any = max(best_any, reps / dt)
-            s1 = _stat_now()
+            s1 = _cpu_jiffies()
             if s0 is not None and s1 is not None:
                 jf, js = s1[0] - s0[0], s1[1] - s0[1]
                 if jf > 0 and 100.0 * js / jf > 1.0:

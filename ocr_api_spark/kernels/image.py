@@ -90,6 +90,19 @@ def _cv2():
     return _CV2
 
 
+def image_engine() -> str:
+    """Which engine this process's image kernels dispatch to: ``cv2``
+    or ``numpy``.  Bit-reproducibility contract (review r5): the two
+    engines differ by ≤1-2 LSB, so a MIXED fleet (some executors with
+    OpenCV, some without) makes per-row output depend on worker
+    placement.  A run that needs bit-stable output must pin one engine
+    fleet-wide — either install cv2 everywhere or ship
+    ``OCR_API_SPARK_DISABLE_CV2=1`` via spark.executorEnv — and should
+    record this value next to its outputs (run_extraction stamps it
+    into the job-level metrics)."""
+    return "cv2" if _cv2() is not None else "numpy"
+
+
 # --- grayscale ---------------------------------------------------------------
 
 _R2Y, _G2Y, _B2Y, _YUV_SHIFT = 4899, 9617, 1868, 14
@@ -460,7 +473,13 @@ def warp_affine(
     out_w, out_h = dsize
     cv2 = _cv2()
     if cv2 is not None:  # pragma: no cover - cv2 not in this container
-        bv = border_value if np.isscalar(border_value) else tuple(float(v) for v in border_value)
+        # cv2 treats a scalar borderValue as Scalar(v, 0, 0, 0) — on a
+        # color image that fills only channel 0; replicate the scalar to
+        # all channels so the border matches the numpy reference
+        if np.isscalar(border_value):
+            bv = (float(border_value),) * 4
+        else:
+            bv = tuple(float(v) for v in border_value)
         return cv2.warpAffine(
             img,
             np.asarray(M, dtype=np.float64),
@@ -471,7 +490,12 @@ def warp_affine(
         )
     full = np.vstack([M, [0.0, 0.0, 1.0]])
     inv = np.linalg.inv(full)
-    if np.allclose(inv[:2], np.rint(inv[:2]), atol=1e-9):
+    # rtol MUST be 0: allclose's default relative term scales with entry
+    # magnitude, so a genuinely sub-pixel map (scale 1.00001, or a
+    # 1000.004 px translation) would get silently snapped to the
+    # integer gather (review r5); only absolute sub-nanopixel residue —
+    # float noise from exact right-angle trig — qualifies
+    if np.allclose(inv[:2], np.rint(inv[:2]), rtol=0.0, atol=1e-9):
         # integer affine map (every right-angle OSD rotation lands here:
         # Tesseract only ever reports 0/90/180/270): each output pixel
         # reads exactly ONE source pixel, so the 4-tap bilinear blend

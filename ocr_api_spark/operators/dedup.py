@@ -539,16 +539,20 @@ def _connected_components_star(
             .localCheckpoint(eager=True)
         )
         stable = small.exceptAll(e).count() == 0 and e.exceptAll(small).count() == 0
-        is_star = (
-            small.alias("a")
-            .join(small.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
-            .count()
-            == 0
-        )
         e = small
-        if stable and is_star:
-            converged = True
-            break
+        # star-shape check only when the edge set stopped moving — on
+        # intermediate rounds it cannot be decisive, so evaluating it
+        # would waste one join+count action per round (review r5)
+        if stable:
+            is_star = (
+                small.alias("a")
+                .join(small.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+                .count()
+                == 0
+            )
+            if is_star:
+                converged = True
+                break
     if not converged:
         raise ValueError(
             f"star connected-components did not converge in {max_iters} rounds"

@@ -81,3 +81,40 @@ def release(lock_path: str, token: str) -> None:
         os.remove(lock_path)
     except FileNotFoundError:
         pass
+
+
+def start_heartbeat(lock_path: str, token: str, interval_sec: float) -> "callable":
+    """Keep a held lock visibly alive: a daemon thread refreshes the
+    lock file's mtime every ``interval_sec`` while the critical section
+    runs, so break-by-age (``try_acquire``'s TTL) only ever fires on a
+    holder that is actually DEAD — not on a live holder whose section
+    ran long (review r5: a 30 s TTL without refresh let a waiting
+    writer break a live 40 s merge and lose its update).  The thread
+    re-checks ownership before each touch: after a (now impossible in
+    the live case, still possible around a crash-recovery race) break,
+    it must not refresh the NEW holder's lock.
+
+    Returns a zero-argument ``stop()``; call it in the ``finally``
+    block before ``release``."""
+    import threading
+
+    stop_event = threading.Event()
+
+    def beat() -> None:
+        while not stop_event.wait(interval_sec):
+            try:
+                with open(lock_path, "rb") as f:
+                    if f.read().decode("utf-8", "replace") != token:
+                        return  # no longer ours — stop touching it
+                os.utime(lock_path)
+            except OSError:
+                return
+
+    t = threading.Thread(target=beat, name="lock-heartbeat", daemon=True)
+    t.start()
+
+    def stop() -> None:
+        stop_event.set()
+        t.join(timeout=interval_sec + 1.0)
+
+    return stop

@@ -353,9 +353,17 @@ def run_extraction(
         )
 
     wall = time.time() - t0
+    from ocr_api_spark.kernels.image import image_engine
+
     return {
         "rows": n_rows,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_rows / wall, 2) if wall > 0 else None,
         "buckets_skipped": len(done),
+        # reproducibility stamp (review r5): the image kernels dispatch
+        # to cv2 where installed (±1-2 LSB vs the numpy reference), so a
+        # run's provenance must record which engine the DRIVER resolved
+        # — and a mixed executor fleet should be pinned via
+        # spark.executorEnv OCR_API_SPARK_DISABLE_CV2 (see image_engine)
+        "image_engine": image_engine(),
     }

@@ -163,8 +163,10 @@ _MERGE_LOCK_WAIT_SEC = 2.0
 # default 3600 s TTL a hard-killed holder could not be broken within the
 # 60 s retry loop, so every live stream's merge would raise
 # BlockingIOError (terminating the streaming query) for up to an hour.
-# 30 s is orders of magnitude above a merge's duration yet leaves half
-# the wait budget for the post-break acquire.
+# A LIVE holder is protected from the short TTL by the lock heartbeat
+# (review r5): the holder refreshes the lock mtime every TTL/3, so age
+# only accumulates on a holder that actually died — a merge running
+# longer than 30 s no longer gets its lock broken mid-section.
 _MERGE_LOCK_TTL_SEC = 30.0
 
 
@@ -218,9 +220,11 @@ def merge_credits_batch(
         _time.sleep(_MERGE_LOCK_WAIT_SEC)
     if token is None:
         raise BlockingIOError(f"accounts merge lock contended: {lock_path}")
+    stop_heartbeat = locks.start_heartbeat(lock_path, token, _MERGE_LOCK_TTL_SEC / 3.0)
     try:
         return _merge_credits_batch_locked(spark, accounts_path, batch_df, batch_id, run_id)
     finally:
+        stop_heartbeat()
         locks.release(lock_path, token)
 
 

@@ -260,3 +260,53 @@ def test_lock_release_checks_ownership(tmp_path):
     assert os.path.exists(lock)
     locks.release(lock, new_token)  # real owner releases
     assert not os.path.exists(lock)
+
+
+def test_heartbeat_protects_live_holder(tmp_path):
+    """Review r5: a short break-by-age TTL must not let a waiter break a
+    LIVE holder mid-section — the heartbeat refreshes the lock's mtime,
+    so age only accumulates on a dead holder."""
+    import os
+    import time
+
+    from ocr_api_spark.plans import locks
+
+    lock = str(tmp_path / "hb.lock")
+    token = locks.try_acquire(lock, ttl_sec=0.6)
+    assert token is not None
+    stop = locks.start_heartbeat(lock, token, interval_sec=0.2)
+    try:
+        time.sleep(1.0)  # well past the TTL: without the heartbeat,
+        # the second acquire below would break the lock by age
+        assert locks.try_acquire(lock, ttl_sec=0.6) is None
+        assert os.path.exists(lock)
+    finally:
+        stop()
+        locks.release(lock, token)
+    # once released (holder done), the lock is free again
+    t2 = locks.try_acquire(lock, ttl_sec=0.6)
+    assert t2 is not None
+    locks.release(lock, t2)
+
+
+def test_heartbeat_stops_touching_after_break(tmp_path):
+    """A stale holder's heartbeat must not refresh the NEW holder's
+    lock after a break: the thread re-checks the ownership token."""
+    import time
+
+    from ocr_api_spark.plans import locks
+
+    lock = str(tmp_path / "hb2.lock")
+    token = locks.try_acquire(lock, ttl_sec=3600)
+    stop = locks.start_heartbeat(lock, token, interval_sec=0.1)
+    # simulate a crash-recovery break: new holder replaces the file
+    import os
+
+    os.remove(lock)
+    t2 = locks.try_acquire(lock, ttl_sec=3600)
+    assert t2 is not None
+    mtime = os.path.getmtime(lock)
+    time.sleep(0.4)
+    assert os.path.getmtime(lock) == mtime  # old heartbeat left it alone
+    stop()
+    locks.release(lock, t2)
