@@ -247,13 +247,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from ocr_api_spark.kernels import image as im
 
     scan = np.random.default_rng(2).integers(0, 256, (480, 640), dtype=np.uint8)
-    n_img = 5
-    t0 = time.time()
-    for _ in range(n_img):
+
+    def _preocr_once():
         img = im.correct_rotation(scan, 90)
         img = im.upscale_image(img, 2.0)
         im.enhance_contrast_and_sharpen(np.repeat(img[..., None], 3, 2))
-    extras["kernel_preocr_images_per_sec_core"] = round(n_img / (time.time() - t0), 1)
 
     # pure-numpy codec throughput on the same 640x480 scan, single core
     from ocr_api_spark.kernels.jpeg import decode_jpeg, encode_jpeg
@@ -288,6 +286,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # if EVERY window was dirty the fastest dirty sample is still the
         # least-wrong answer (a dirty window only ever slows the kernel)
         return round(best if clean else best_any, 1)
+
+    # same steal-window gating as the codecs: the chain is single-core
+    # numpy, equally exposed to ambient bursts (flagged metric, r4)
+    _preocr_once()  # warm
+    extras["kernel_preocr_images_per_sec_core"] = best_rate(_preocr_once, 2, groups=6)
 
     jb = encode_jpeg(scan, quality=85, progressive=True)
     decode_jpeg(jb)  # warm
