@@ -172,6 +172,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         ngram_jaccard_pairs,
     )
 
+    def _substring_stage(d):
+        # exact-substring dedup (Lee et al. family) over the natural
+        # corpus: rolling 20-token window hash -> corpus-wide count ->
+        # maximal spans.  Timed as an extra (not in the headline, which
+        # stays comparable to r1-r4); duplicate spans exist because the
+        # corpus carries exact-duplicate texts
+        from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+        t0 = time.time()
+        n_spans = duplicated_substring_spans(d, window=20).count()
+        return round(time.time() - t0, 3), n_spans
+
     # repartition BEFORE the compute-heavy signature projection: the
     # parquet scan partitions by compressed bytes, so one small file =
     # one task and the md5 work runs single-threaded (the round-1
@@ -212,6 +224,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extras["dedup_candidate_pairs"] = n_pairs
     extras["dedup_verified_dups"] = n_dups
     extras["dedup_docs_per_sec"] = round(n_docs_dedup / max(extras["dedup_pipeline_sec"], 1e-9))
+    extras["substring_dedup_sec"], extras["substring_dup_spans"] = _substring_stage(docs)
 
     # single-core kernel micro-numbers: the scale-predictive figures
     # (e2e docs/sec at this sf is fixed-cost-dominated; these are not)
