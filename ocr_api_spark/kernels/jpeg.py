@@ -1146,6 +1146,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
     cmyk = a.ndim == 3 and a.shape[2] == 4
     if not gray and not cmyk and (a.ndim != 3 or a.shape[2] != 3):
         raise JpegError(f"unsupported array shape {a.shape}")
+    # fail loudly on unsupported combinations, like every other shape
+    # error here — silently ignoring a flag would let a fixture believe
+    # it exercised a path it never produced (review r5)
+    if ycck and not cmyk:
+        raise JpegError("ycck=True requires 4-channel CMYK input")
+    if cmyk and subsample:
+        raise JpegError("subsampling is 4:4:4-only for 4-component streams")
     height, width = a.shape[0], a.shape[1]
     if height == 0 or width == 0:
         raise JpegError("zero-dimension image")
@@ -1284,9 +1291,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, subsample: bool = False,
         entropy += bw.out
         scans.append((sos_body(list(range(ncomp)), 0, 63), bytes(entropy)))
 
-    # --- assemble the JFIF stream -------------------------------------
+    # --- assemble the stream ------------------------------------------
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if not cmyk:
+        # JFIF APP0 is defined for 1/3-component Y'CbCr only; Adobe
+        # 4-component files carry APP14 INSTEAD of APP0 (review r5 —
+        # a JFIF+4-component combination is one no real writer emits)
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
     def dqt(tid, tbl):
         return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(int(x) for x in tbl)

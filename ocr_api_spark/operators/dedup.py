@@ -506,9 +506,17 @@ def _connected_components_star(
     checked, never assumed.  Every round's frame is localCheckpoint'd:
     the exceptAll fixpoint test would otherwise double the lineage each
     iteration."""
+    # drop-in parity with label_prop on dirty input (review r5): pairs
+    # that reference ids absent from ``nodes`` contribute nothing there
+    # (the label join silently skips them), so the star engine must not
+    # propagate connectivity THROUGH a phantom node either — restrict
+    # edges to the node universe before contracting
+    universe = nodes.select(F.col(node_col).alias("__n")).distinct()
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    raw = raw.join(universe, raw["src"] == universe["__n"], "left_semi")
+    raw = raw.join(universe, raw["dst"] == universe["__n"], "left_semi")
     e = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
+        raw.where(F.col("src") != F.col("dst"))
         .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -519,11 +527,12 @@ def _connected_components_star(
         # every neighbor v > u re-attaches as (v, m)
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # (no self-loop filter needed: the new edge is (old v, m) with
+        # m <= old u < old v, so its endpoints always differ)
         large = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
             .distinct()
         )
         # small-star on the (larger → smaller) orientation: every

@@ -136,12 +136,18 @@ class _Decoder:
         executors): ~20-50x the pure-numpy codecs on the same bytes,
         same BGR/BGRA/gray conventions.  Absent in this container —
         the numpy codecs below are the tested fallback and the
-        determinism reference (skip-if-absent parity test)."""
-        try:  # pragma: no cover - cv2 not in this container
-            import cv2
-            import numpy as np
-        except ImportError:
+        determinism reference (skip-if-absent parity test).
+
+        Engine policy is shared with the image kernels (review r5):
+        ``OCR_API_SPARK_DISABLE_CV2`` disables this path too, so
+        pinning the fleet to the numpy engine pins the DECODER as well
+        and ``image_engine()``'s provenance stamp covers both."""
+        from ocr_api_spark.kernels.image import _cv2
+
+        cv2 = _cv2()
+        if cv2 is None:
             return None
+        import numpy as np  # pragma: no cover - cv2 not in this container
         if payload is None or not (
             payload.startswith(b"\x89PNG\r\n\x1a\n") or payload.startswith(b"\xff\xd8")
         ):

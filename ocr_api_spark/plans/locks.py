@@ -101,14 +101,22 @@ def start_heartbeat(lock_path: str, token: str, interval_sec: float) -> "callabl
     stop_event = threading.Event()
 
     def beat() -> None:
+        misses = 0
         while not stop_event.wait(interval_sec):
             try:
                 with open(lock_path, "rb") as f:
                     if f.read().decode("utf-8", "replace") != token:
                         return  # no longer ours — stop touching it
                 os.utime(lock_path)
+                misses = 0
             except OSError:
-                return
+                # transient failure (utime hiccup, momentary EACCES)
+                # must not silently disable the lease protection
+                # (review r5); only give up after several consecutive
+                # misses — by then the lock is likely genuinely gone
+                misses += 1
+                if misses >= 3:
+                    return
 
     t = threading.Thread(target=beat, name="lock-heartbeat", daemon=True)
     t.start()

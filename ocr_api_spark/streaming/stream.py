@@ -155,19 +155,23 @@ def credits_ledger_stream(claims: DataFrame, initial_credits: int = 1000) -> Dat
     )
 
 
-# contention wait: a credits merge is sub-second; 30 x 2 s outlasts any
-# live holder by orders of magnitude without stalling the stream forever
-_MERGE_LOCK_ATTEMPTS = 30
+# lease sizing (ADVICE r4 + review r5, two constraints in tension):
+# (a) the break-by-age TTL must sit INSIDE the wait budget, or a
+#     hard-killed holder's lock can never be broken before the waiting
+#     stream exhausts its retries and BlockingIOError terminates the
+#     streaming query (the r4 finding — the 3600 s default failed this);
+# (b) the TTL is an UNFENCED LEASE: the heartbeat refreshes the lock
+#     mtime every TTL/6 while the holder is scheduled, but a holder
+#     descheduled longer than the TTL (VM pause, swap storm, SIGSTOP)
+#     can still be broken while alive — plain filesystems offer no
+#     fencing token, so the TTL is the stall bound we accept, and it
+#     should comfortably exceed any plausible pause.
+# 120 s TTL / 240 s wait: a dead holder delays merges by ~2 min worst
+# case (crash recovery, acceptable for a ledger), while a live holder
+# would have to miss ~6 consecutive heartbeats to be usurped.
+_MERGE_LOCK_ATTEMPTS = 120
 _MERGE_LOCK_WAIT_SEC = 2.0
-# break-by-age TTL must sit INSIDE the wait budget (ADVICE r4): with the
-# default 3600 s TTL a hard-killed holder could not be broken within the
-# 60 s retry loop, so every live stream's merge would raise
-# BlockingIOError (terminating the streaming query) for up to an hour.
-# A LIVE holder is protected from the short TTL by the lock heartbeat
-# (review r5): the holder refreshes the lock mtime every TTL/3, so age
-# only accumulates on a holder that actually died — a merge running
-# longer than 30 s no longer gets its lock broken mid-section.
-_MERGE_LOCK_TTL_SEC = 30.0
+_MERGE_LOCK_TTL_SEC = 120.0
 
 
 def merge_credits_batch(
@@ -220,7 +224,7 @@ def merge_credits_batch(
         _time.sleep(_MERGE_LOCK_WAIT_SEC)
     if token is None:
         raise BlockingIOError(f"accounts merge lock contended: {lock_path}")
-    stop_heartbeat = locks.start_heartbeat(lock_path, token, _MERGE_LOCK_TTL_SEC / 3.0)
+    stop_heartbeat = locks.start_heartbeat(lock_path, token, _MERGE_LOCK_TTL_SEC / 6.0)
     try:
         return _merge_credits_batch_locked(spark, accounts_path, batch_df, batch_id, run_id)
     finally:

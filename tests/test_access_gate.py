@@ -272,19 +272,21 @@ def test_heartbeat_protects_live_holder(tmp_path):
     from ocr_api_spark.plans import locks
 
     lock = str(tmp_path / "hb.lock")
-    token = locks.try_acquire(lock, ttl_sec=0.6)
+    # interval-to-TTL margin of 20x: a multi-second host scheduling
+    # burst (documented ambient on this box) must not flake the test
+    token = locks.try_acquire(lock, ttl_sec=4.0)
     assert token is not None
     stop = locks.start_heartbeat(lock, token, interval_sec=0.2)
     try:
-        time.sleep(1.0)  # well past the TTL: without the heartbeat,
+        time.sleep(6.0)  # well past the TTL: without the heartbeat,
         # the second acquire below would break the lock by age
-        assert locks.try_acquire(lock, ttl_sec=0.6) is None
+        assert locks.try_acquire(lock, ttl_sec=4.0) is None
         assert os.path.exists(lock)
     finally:
         stop()
         locks.release(lock, token)
     # once released (holder done), the lock is free again
-    t2 = locks.try_acquire(lock, ttl_sec=0.6)
+    t2 = locks.try_acquire(lock, ttl_sec=4.0)
     assert t2 is not None
     locks.release(lock, t2)
 
@@ -306,7 +308,7 @@ def test_heartbeat_stops_touching_after_break(tmp_path):
     t2 = locks.try_acquire(lock, ttl_sec=3600)
     assert t2 is not None
     mtime = os.path.getmtime(lock)
-    time.sleep(0.4)
+    time.sleep(0.8)  # several beat intervals
     assert os.path.getmtime(lock) == mtime  # old heartbeat left it alone
     stop()
     locks.release(lock, t2)

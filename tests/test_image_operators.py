@@ -336,24 +336,44 @@ def test_cv2_fast_path_parity_when_installed():
     PNG/JPEG bytes through cv2.imdecode; lossless PNG must decode
     pixel-identical to the numpy codec, and JPEG within IDCT rounding.
     Skips in containers without cv2 (this one)."""
+    import importlib
+    import os
+
     import numpy as np
     import pytest
 
     cv2 = pytest.importorskip("cv2")
 
+    from ocr_api_spark.kernels import image as im
     from ocr_api_spark.kernels.jpeg import decode_jpeg, encode_jpeg
     from ocr_api_spark.kernels.png import encode_png
     from ocr_api_spark.operators.multimodal import _Decoder
 
-    img = np.random.default_rng(5).integers(0, 256, (64, 96, 3), dtype=np.uint8)
-    png_arr, kind = _Decoder._try_pixels(encode_png(img))
-    assert kind == "png" and np.array_equal(png_arr, img)
+    # the decoder shares the image kernels' engine switch (review r5);
+    # conftest pins the numpy engine for golden stability, so observe
+    # the cv2 branch by reloading with the switch cleared
+    old = os.environ.pop("OCR_API_SPARK_DISABLE_CV2", None)
+    try:
+        importlib.reload(im)
+        img = np.random.default_rng(5).integers(0, 256, (64, 96, 3), dtype=np.uint8)
+        png_arr, kind = _Decoder._try_pixels(encode_png(img))
+        assert kind == "png" and np.array_equal(png_arr, img)
 
-    jb = encode_jpeg(img, quality=90)
-    jpg_arr, kind = _Decoder._try_pixels(jb)
-    assert kind == "jpeg" and jpg_arr.shape == img.shape
-    ours = decode_jpeg(jb)
-    assert np.abs(jpg_arr.astype(int) - ours.astype(int)).mean() < 3.0  # IDCT rounding only
+        jb = encode_jpeg(img, quality=90)
+        jpg_arr, kind = _Decoder._try_pixels(jb)
+        assert kind == "jpeg" and jpg_arr.shape == img.shape
+        ours = decode_jpeg(jb)
+        assert np.abs(jpg_arr.astype(int) - ours.astype(int)).mean() < 3.0  # IDCT rounding only
+        # and the kill switch really does reach the decoder
+        os.environ["OCR_API_SPARK_DISABLE_CV2"] = "1"
+        importlib.reload(im)
+        assert np.array_equal(_Decoder._try_pixels(jb)[0], ours)
+    finally:
+        if old is not None:
+            os.environ["OCR_API_SPARK_DISABLE_CV2"] = old
+        else:
+            os.environ.pop("OCR_API_SPARK_DISABLE_CV2", None)
+        importlib.reload(im)
 
 
 def test_pdf_raster_chains_into_preocr(session):
