@@ -613,3 +613,20 @@ def test_star_cc_converges_on_pathological_chain(session):
         for r in connected_components(pairs, nodes, max_iters=30, algorithm="star").collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_star_cc_ignores_phantom_pair_ids(session):
+    """Drop-in parity on dirty input (review r5): pairs referencing ids
+    absent from `nodes` contribute nothing under label_prop (the label
+    join skips them), so star must not propagate connectivity THROUGH
+    a phantom node either."""
+    from ocr_api_spark.operators.dedup import connected_components
+
+    pairs = session.createDataFrame([(5, 999), (999, 3)], "id_a int, id_b int")
+    nodes = session.createDataFrame([(3,), (5,)], "doc_id int")
+    lp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, algorithm="star").collect()
+    }
+    assert lp == st == {3: 3, 5: 5}
