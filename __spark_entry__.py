@@ -273,13 +273,20 @@ FROM events GROUP BY 1, 2
 
 
 def _events_user_stats(spark, sf_dir):
+    """Decimal-stable average (the emb_label_centroid pattern): float
+    avg() sums in engine- and partition-order, so round(avg, 3) flips
+    at half-ulp boundaries — 3 of 1500 users at sf0.1 (found in the
+    round-5 all-SF sweep; the sf0.01 gate happened to pass).  Summing
+    exact DECIMAL(28,12) is order-independent; the final double divide
+    + round then agree bit-for-bit across engines."""
     ev = _t(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("double").cast("decimal(28,12)"))
     return (
         ev.where(F.col("event_type").isin("click", "purchase"))
         .groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_actions"),
-            F.round(F.avg("value"), 3).alias("avg_value"),
+            F.round(dec_sum.cast("double") / F.count(F.lit(1)), 3).alias("avg_value"),
             F.max("ts").alias("last_ts"),
         )
         .withColumn("user_id", F.col("user_id").cast("bigint"))
@@ -288,7 +295,8 @@ def _events_user_stats(spark, sf_dir):
 
 _EVENTS_USER_SQL = """
 SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_actions,
-       round(avg(value), 3) AS avg_value, max(ts) AS last_ts
+       round(sum(value::DOUBLE::DECIMAL(28,12))::DOUBLE / count(*), 3) AS avg_value,
+       max(ts) AS last_ts
 FROM events WHERE event_type IN ('click', 'purchase')
 GROUP BY user_id
 """
