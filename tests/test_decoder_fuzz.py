@@ -27,6 +27,8 @@ def _img(rng):
         ("jpeg_progressive", lambda r: encode_jpeg(_img(r), 85, progressive=True), decode_jpeg, JpegError),
         ("jpeg_420_rst", lambda r: encode_jpeg(_img(r), 85, subsample=True, restart_interval=2), decode_jpeg, JpegError),
         ("jpeg_ycck", lambda r: encode_jpeg(r.integers(0, 256, (24, 32, 4), dtype=np.uint8), 85, ycck=True), decode_jpeg, JpegError),
+        ("jpeg_cmyk", lambda r: encode_jpeg(r.integers(0, 256, (24, 32, 4), dtype=np.uint8), 85), decode_jpeg, JpegError),
+        ("jpeg_cmyk_prog", lambda r: encode_jpeg(r.integers(0, 256, (24, 32, 4), dtype=np.uint8), 85, progressive=True), decode_jpeg, JpegError),
         ("png", lambda r: encode_png(_img(r), filter_types=4), decode_png, PngError),
         ("png_interlaced", lambda r: encode_png(_img(r), interlace=True), decode_png, PngError),
         ("pdf_flate", lambda r: pdf_from_text("hello world this is a test doc with words", compress=True), parse_pdf, MiniPdfError),
