@@ -177,3 +177,38 @@ def test_near_dup_join_keys_on_bucket_and_degrades_to_shuffle(session):
     shuffles = re.findall(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin)", plan_nb)
     assert len(shuffles) == 1, plan_nb
     assert "BroadcastHashJoin" not in plan_nb, plan_nb
+
+
+def test_substring_dedup_no_python_no_cartesian(session):
+    """Exact-substring dedup (Lee et al. family): the whole pipeline —
+    window frame, md5, corpus-wide count, islands merge — stays JVM-side
+    (no Arrow/Python stage), and the join back from the duplicate-hash
+    set is a keyed equi-join, never a cartesian product."""
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["doc_substring_dedup"](session, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the rolling-window frame
+
+
+def test_customer_activity_keeps_both_join_shapes(session):
+    """The round-5 merged row must still EXECUTE a semi join and an
+    anti join — folding the queries must not have degraded either to a
+    different join type."""
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["customer_order_activity"](session, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_hll_estimate_single_pass_aggregates(session):
+    """The estimator is constant-size driver arithmetic over two global
+    aggregates — no Python stage, no join wider than the 1x1 cross of
+    the two single-row aggregate results."""
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["sketch_hll_estimate"](session, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
