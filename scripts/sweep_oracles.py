@@ -1,0 +1,111 @@
+"""Run EVERY registered query against its DuckDB oracle at every
+testdata SF — the superset of the driver's sf0.01 gate.
+
+The driver verifies at one scale; engine-divergence bugs can hide at
+the gate SF and surface at another (round 5: ``events_user_stats``'
+float ``round(avg, 3)`` flipped at a half-ulp boundary for 3 of 1500
+users at sf0.1 while sf0.01 was green — fixed with the decimal-sum
+pattern).  Run this after touching any query or oracle:
+
+    python scripts/sweep_oracles.py            # all SFs
+    python scripts/sweep_oracles.py sf0.1      # one SF
+
+Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6) if not math.isnan(v) else "nan"
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
+def sweep(sf_dir: str, spark) -> list[str]:
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    fails: list[str] = []
+    for name in qs:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            cols = sorted(sdf.columns)
+            s_rows = sorted(
+                [tuple(_norm(x) for x in r) for r in sdf.select(*cols).collect()],
+                key=repr,
+            )
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            d_rows = sorted(
+                [tuple(_norm(r[i]) for i in order) for r in res.fetchall()], key=repr
+            )
+            if cols != sorted(dcols):
+                fails.append(name)
+                print(f"  COLS {name}: {cols} vs {sorted(dcols)}")
+            elif s_rows != d_rows:
+                fails.append(name)
+                diff = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+                first = diff[0] if diff else min(len(s_rows), len(d_rows))
+                print(
+                    f"  ROWS {name}: {len(s_rows)} vs {len(d_rows)}; "
+                    f"first diff {s_rows[first] if first < len(s_rows) else '<none>'} "
+                    f"vs {d_rows[first] if first < len(d_rows) else '<none>'}"
+                )
+            else:
+                print(f"  ok   {name} ({len(s_rows)} rows)")
+        except Exception as e:  # noqa: BLE001 - report and continue the sweep
+            fails.append(name)
+            print(f"  ERR  {name}: {type(e).__name__}: {str(e)[:160]}")
+    con.close()
+    return fails
+
+
+def main() -> int:
+    from ocr_api_spark.plans.session import build_session
+
+    base = "/root/testdata"
+    wanted = sys.argv[1:] or sorted(
+        d for d in os.listdir(base) if d.startswith("sf")
+    )
+    spark = build_session(
+        app_name="oracle-sweep", master="local[16]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for sf in wanted:
+        sf_dir = os.path.join(base, sf)
+        print(f"== {sf_dir}")
+        fails = sweep(sf_dir, spark)
+        if fails:
+            bad += len(fails)
+            print(f"== {sf}: {len(fails)} FAILURES: {fails}")
+        else:
+            print(f"== {sf}: all green")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
