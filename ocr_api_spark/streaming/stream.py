@@ -46,6 +46,37 @@ def extraction_stream(pages: DataFrame, doc_type_col: str | None = None) -> Data
     )
 
 
+def dedup_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on the content fingerprint — the
+    ingestion-time counterpart of the batch ``dedupe_pages`` pass: a
+    training-data crawler re-delivers identical payloads (re-crawls,
+    mirror hosts), and dropping them ON ARRIVAL keeps duplicate bytes
+    out of every downstream stage.
+
+    State is bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark``): a fingerprint seen again inside
+    the horizon is dropped, and state older than the horizon is evicted
+    — without the bound, corpus-scale dedup state would grow without
+    limit.  Duplicates farther apart than the horizon pass through;
+    the batch exact-dedup pass remains the cross-horizon backstop (the
+    same accept-then-compact split Iceberg ingestion pipelines use).
+    Same fingerprint definition as ``dedupe_pages``: text payload, else
+    the raw html bytes."""
+    fingerprint = F.md5(
+        F.coalesce(
+            F.nullif(F.col("text"), F.lit("")), F.col("html").cast("string"), F.lit("")
+        )
+    )
+    return (
+        pages.withColumn("fingerprint", fingerprint)
+        # parquet crawl timestamps arrive as TIMESTAMP_NTZ; event-time
+        # watermarks require the instant type
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def extraction_stream_with_claims(pages: DataFrame, claims_static: DataFrame) -> DataFrame:
     """Stream-static join: the pages stream joins the (slowly-changing)
     claims table, then runs the same fused single-crossing stage as the

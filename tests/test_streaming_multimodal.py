@@ -247,3 +247,38 @@ def test_stream_quality_gate_matches_batch(session, tmp_path):
     want = sorted(map(tuple, gate(session.read.parquet(src)).collect()))
     assert got == want and len(got) == 80
     assert all(u.startswith("https://example.com/d/") for _, _, u in got)
+
+
+def test_stream_dedup_on_arrival(session, synth, tmp_path):
+    """Streaming exact dedup (dedup_stream): duplicate payloads arriving
+    within the watermark horizon are dropped on arrival; the kept set
+    matches the batch dedupe_pages fingerprint count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.plans.pipeline import dedupe_pages
+    from ocr_api_spark.streaming.stream import dedup_stream, read_pages_stream
+
+    pages = session.read.parquet(synth["pages"])
+    # re-deliveries: 30 rows come back with new urls, same payloads
+    dupes = pages.limit(30).withColumn("url", F.concat(F.col("url"), F.lit("?recrawl")))
+    stream_dir = str(tmp_path / "pages_dup")
+    pages.unionByName(dupes).coalesce(1).write.parquet(stream_dir)
+
+    out = str(tmp_path / "dedup_out")
+    q = (
+        dedup_stream(read_pages_stream(session, stream_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = session.read.parquet(out)
+    n_batch = dedupe_pages(pages.unionByName(dupes)).count()
+    assert got.count() == n_batch == pages.count()
+    # exactly one survivor per fingerprint
+    assert got.groupBy("fingerprint").count().where(F.col("count") > 1).count() == 0
