@@ -79,6 +79,41 @@ def _steal_pct() -> float | None:
     return round(100.0 * ds / max(dt, 1), 2)
 
 
+def timed_best(fn, trials: int = 3, max_attempts: int | None = None) -> tuple[float, list[float], int]:
+    """Best-of-``trials`` CLEAN wall-time samples of ``fn``, each trial
+    gated on its OWN /proc/stat steal window (the kernel-extras
+    discipline from r5, extended to the Spark-query section per the r5
+    verdict: q1 read +97% on UNCHANGED code because one noisy draw was
+    the record).  Dirty windows are re-run (bounded); if every window
+    was dirty the fastest dirty sample is the least-wrong answer (a
+    noisy neighbor only ever slows a query down).
+
+    Returns ``(best_sec, all_samples, clean_count)`` — samples are
+    recorded in run order so the spread is on the record."""
+    if max_attempts is None:
+        max_attempts = trials * 2
+    samples: list[float] = []
+    best_clean = best_any = float("inf")
+    clean = attempts = 0
+    while clean < trials and attempts < max_attempts:
+        attempts += 1
+        s0 = _cpu_jiffies()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        s1 = _cpu_jiffies()
+        samples.append(round(dt, 3))
+        best_any = min(best_any, dt)
+        if s0 is not None and s1 is not None:
+            jf, js = s1[0] - s0[0], s1[1] - s0[1]
+            if jf > 0 and 100.0 * js / jf > 1.0:
+                continue  # dirty window: not comparable, try again
+        clean += 1
+        best_clean = min(best_clean, dt)
+    best = best_clean if clean else best_any
+    return round(best, 3), samples, clean
+
+
 def run_bench(sf_dir: str, cpus: int) -> dict:
     global _STAT0
     _STAT0 = None
@@ -113,19 +148,32 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     )
     shutil.rmtree(warm_out, ignore_errors=True)
 
-    out_dir = tempfile.mkdtemp(prefix="bench_out_")
-    t0 = time.time()
-    stats = run_extraction(
-        spark,
-        os.path.join(synth_dir, "pages.parquet"),
-        os.path.join(synth_dir, "claims.parquet"),
-        out_dir,
-        n_buckets=max(cpus * 2, 16),
-        n_salts=8,
-    )
-    timings["extraction_pipeline"] = round(time.time() - t0, 3)
+    spreads: dict[str, list[float]] = {}
+    state: dict = {}
+
+    def _extract_once():
+        out = tempfile.mkdtemp(prefix="bench_out_")
+        state["stats"] = run_extraction(
+            spark,
+            os.path.join(synth_dir, "pages.parquet"),
+            os.path.join(synth_dir, "claims.parquet"),
+            out,
+            n_buckets=max(cpus * 2, 16),
+            n_salts=8,
+        )
+        shutil.rmtree(state.get("out_dir", ""), ignore_errors=True)
+        state["out_dir"] = out
+
+    best, samples, clean = timed_best(_extract_once, trials=2, max_attempts=4)
+    timings["extraction_pipeline"] = best
+    spreads["extraction_pipeline"] = samples
+    out_dir = state["out_dir"]
+    stats = state["stats"]
     extras["extraction_rows"] = stats["rows"]
-    extras["docs_per_sec"] = stats["docs_per_sec"]
+    # headline throughput from the BEST clean window, matching the
+    # recorded extraction_pipeline time (stats["docs_per_sec"] is the
+    # last run's, which may have been a dirty draw)
+    extras["docs_per_sec"] = round(stats["rows"] / max(best, 1e-9))
 
     # byte-identical spot check on a sample (the full check lives in tests)
     got = (
@@ -159,9 +207,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # driver cap) but stays benched for timing-series continuity
     qs = {**entry.queries(), "doc_token_stats": entry._doc_token_stats}
     for name in bench_queries:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best, samples, clean = timed_best(
+            lambda n=name: qs[n](spark, sf_dir).collect(), trials=3, max_attempts=6
+        )
+        timings[name] = best
+        spreads[name] = samples
 
     # --- dedup tier end-to-end: minhash → banded LSH (capped) → exact
     # jaccard re-rank of the candidates — the near-dup path a training-
@@ -180,9 +230,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # corpus carries exact-duplicate texts
         from ocr_api_spark.operators.dedup import duplicated_substring_spans
 
-        t0 = time.time()
-        n_spans = duplicated_substring_spans(d, window=20).count()
-        return round(time.time() - t0, 3), n_spans
+        def _once():
+            state["n_spans"] = duplicated_substring_spans(d, window=20).count()
+
+        best, samples, clean = timed_best(_once, trials=2, max_attempts=4)
+        spreads["substring_dedup"] = samples
+        return best, state["n_spans"]
 
     # repartition BEFORE the compute-heavy signature projection: the
     # parquet scan partitions by compressed bytes, so one small file =
@@ -216,11 +269,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         return n_pairs, n_dups
 
     _dedup_flow(docs.limit(200))  # warm codegen/shuffle paths, same plan
-    t0 = time.time()
-    n_pairs, n_dups = _dedup_flow(docs)
+
+    def _dedup_once():
+        state["dedup"] = _dedup_flow(docs)
+
     # reported as extras, NOT summed into `value`: the headline total
     # stays comparable with rounds 1-2, which had no dedup stage
-    extras["dedup_pipeline_sec"] = round(time.time() - t0, 3)
+    best, samples, clean = timed_best(_dedup_once, trials=2, max_attempts=4)
+    extras["dedup_pipeline_sec"] = best
+    spreads["dedup_pipeline"] = samples
+    n_pairs, n_dups = state["dedup"]
     extras["dedup_candidate_pairs"] = n_pairs
     extras["dedup_verified_dups"] = n_dups
     extras["dedup_docs_per_sec"] = round(n_docs_dedup / max(extras["dedup_pipeline_sec"], 1e-9))
@@ -323,6 +381,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query run-order samples behind each best-of figure (the r5
+        # verdict's ask: one noisy draw must not be the record, and the
+        # spread itself is on the record)
+        "query_spreads": spreads,
         "sf": sf,
         **extras,
     }
