@@ -73,21 +73,58 @@ import numpy as np
 _CV2 = None
 _CV2_CHECKED = False
 
+# Spark local property carrying the DRIVER's engine resolution to every
+# task (ADVICE r5: per-process discovery on a heterogeneous fleet makes
+# per-row pixel output depend on worker placement).  run_extraction
+# stamps it; task-side _cv2() honors it — "numpy" pins the fallback
+# everywhere, "cv2" makes a worker WITHOUT OpenCV fail loudly instead
+# of silently producing ±1-2-LSB-different pixels.
+ENGINE_PROP = "ocr_api_spark.image_engine"
 
-def _cv2():
+
+def _task_engine_pin() -> str | None:
+    """The fleet-wide pin visible to THIS process, if any: the env
+    override beats the driver-stamped task property; on the driver
+    (no TaskContext) there is no pin."""
+    if os.environ.get("OCR_API_SPARK_DISABLE_CV2"):
+        return "numpy"
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None:
+            return tc.getLocalProperty(ENGINE_PROP)
+    except Exception:  # pragma: no cover - pyspark absent in pure-kernel use
+        pass
+    return None
+
+
+def _import_cv2():
     global _CV2, _CV2_CHECKED
     if not _CV2_CHECKED:
         _CV2_CHECKED = True
-        if os.environ.get("OCR_API_SPARK_DISABLE_CV2"):
-            _CV2 = None
-        else:
-            try:  # pragma: no cover - cv2 not in this container
-                import cv2 as _cv2_mod
+        try:  # pragma: no cover - cv2 not in this container
+            import cv2 as _cv2_mod
 
-                _CV2 = _cv2_mod
-            except ImportError:
-                _CV2 = None
+            _CV2 = _cv2_mod
+        except ImportError:
+            _CV2 = None
     return _CV2
+
+
+def _cv2():
+    pin = _task_engine_pin()
+    if pin == "numpy":
+        return None
+    mod = _import_cv2()
+    if pin == "cv2" and mod is None:
+        raise RuntimeError(
+            "driver resolved image engine 'cv2' but this worker has no OpenCV — "
+            "a mixed fleet would make pixel output depend on worker placement; "
+            "install cv2 on every executor or pin numpy via "
+            "OCR_API_SPARK_DISABLE_CV2=1 in spark.executorEnv"
+        )
+    return mod
 
 
 def image_engine() -> str:
@@ -95,11 +132,10 @@ def image_engine() -> str:
     or ``numpy``.  Bit-reproducibility contract (review r5): the two
     engines differ by ≤1-2 LSB, so a MIXED fleet (some executors with
     OpenCV, some without) makes per-row output depend on worker
-    placement.  A run that needs bit-stable output must pin one engine
-    fleet-wide — either install cv2 everywhere or ship
-    ``OCR_API_SPARK_DISABLE_CV2=1`` via spark.executorEnv — and should
-    record this value next to its outputs (run_extraction stamps it
-    into the job-level metrics)."""
+    placement.  ``run_extraction`` therefore resolves the engine on
+    the DRIVER and stamps it onto every task via the ``ENGINE_PROP``
+    local property: workers follow the stamp or raise (see ``_cv2``),
+    and the job-level metrics record the same value."""
     return "cv2" if _cv2() is not None else "numpy"
 
 

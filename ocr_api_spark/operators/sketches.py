@@ -75,20 +75,34 @@ def hll_estimate(register_rows, m: int = HLL_M) -> float:
 # same double-precision expression tree: the denominator is an
 # integer-exact sum (each register contributes 2^(53-reg), zeros
 # contribute 2^53 — max 256*2^53 = 2^61, inside BIGINT), so the only
-# floating-point steps are one cast, the literal alpha arithmetic, and
-# ln() in the linear-counting branch, all in identical order.
+# floating-point steps are one cast and the literal alpha arithmetic,
+# all in identical order.  The linear-counting branch's m*ln(m/zeros)
+# is NOT evaluated by either engine (ADVICE r5: JVM Math.log and libm
+# log are each allowed a sub-ulp slop that round(.., 4) can amplify at
+# a half-ulp boundary — the exact divergence class the decimal-sum
+# pattern fixed in events_user_stats): zero_buckets has only 256
+# possible values, so the branch is an integer-keyed lookup of
+# driver-precomputed literals, identical bytes in both engines' SQL.
 #
 # every fractional literal carries E0: a bare `0.7213` parses as
 # DECIMAL in Spark SQL (decimal division semantics would silently
 # diverge from DuckDB's double math); `0.7213E0` is DOUBLE in both.
+_LINEAR_COUNT_LOOKUP_SQL = (
+    f"CASE {HLL_M} - nonzero_buckets "
+    + " ".join(
+        f"WHEN {z} THEN {round(HLL_M * math.log(HLL_M / z), 4)!r}E0"
+        for z in range(1, HLL_M + 1)
+    )
+    + " END"
+)
 HLL_ESTIMATE_SQL_EXPR = (
     "CASE WHEN ({m} - nonzero_buckets) > 0 AND "
     "(0.7213E0 / (1.0E0 + 1.079E0 / {m}.0E0)) * {m2}.0E0 * 9007199254740992.0E0 "
     "/ denom_scaled <= {lin}.0E0 "
-    "THEN round({m}.0E0 * ln({m}.0E0 / ({m} - nonzero_buckets)), 4) "
+    "THEN {lookup} "
     "ELSE round((0.7213E0 / (1.0E0 + 1.079E0 / {m}.0E0)) * {m2}.0E0 * 9007199254740992.0E0 "
     "/ denom_scaled, 4) END"
-).format(m=HLL_M, m2=HLL_M * HLL_M, lin=int(2.5 * HLL_M))
+).format(m=HLL_M, m2=HLL_M * HLL_M, lin=int(2.5 * HLL_M), lookup=_LINEAR_COUNT_LOOKUP_SQL)
 
 
 def hll_estimate_row(df: DataFrame, value_col: str) -> DataFrame:

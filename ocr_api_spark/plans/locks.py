@@ -89,10 +89,10 @@ def start_heartbeat(lock_path: str, token: str, interval_sec: float) -> "callabl
     runs, so break-by-age (``try_acquire``'s TTL) only ever fires on a
     holder that is actually DEAD — not on a live holder whose section
     ran long (review r5: a 30 s TTL without refresh let a waiting
-    writer break a live 40 s merge and lose its update).  The thread
-    re-checks ownership before each touch: after a (now impossible in
-    the live case, still possible around a crash-recovery race) break,
-    it must not refresh the NEW holder's lock.
+    writer break a live 40 s merge and lose its update).  Each beat
+    verifies ownership and touches through one fd, so a break +
+    re-acquire landing mid-beat can only ever refresh the renamed-away
+    OLD inode — never the new holder's lock.
 
     Returns a zero-argument ``stop()``; call it in the ``finally``
     block before ``release``."""
@@ -104,10 +104,21 @@ def start_heartbeat(lock_path: str, token: str, interval_sec: float) -> "callabl
         misses = 0
         while not stop_event.wait(interval_sec):
             try:
-                with open(lock_path, "rb") as f:
-                    if f.read().decode("utf-8", "replace") != token:
+                # verify ownership and touch through the SAME fd
+                # (ADVICE r5: a path-based check-then-utime pair is not
+                # atomic — a break + re-acquire between them would have
+                # the old holder refresh the NEW holder's lease).  A
+                # TTL break renames the path away, so this fd keeps
+                # pointing at the OLD inode: if the token matches, the
+                # utime lands on a file that is still ours by identity,
+                # never on a successor that reused the path.
+                fd = os.open(lock_path, os.O_RDONLY)
+                try:
+                    if os.read(fd, 256).decode("utf-8", "replace") != token:
                         return  # no longer ours — stop touching it
-                os.utime(lock_path)
+                    os.utime(fd)
+                finally:
+                    os.close(fd)
                 misses = 0
             except OSError:
                 # transient failure (utime hiccup, momentary EACCES)

@@ -263,6 +263,16 @@ def run_extraction(
 ) -> dict:
     """Run (or resume) the pipeline.  Returns run statistics."""
     t0 = time.time()
+    from ocr_api_spark.kernels.image import ENGINE_PROP, image_engine
+
+    # resolve the image engine ON THE DRIVER and stamp it onto every
+    # task of this run (local property ships with each task): a
+    # heterogeneous fleet can no longer mix cv2 and numpy pixels by
+    # worker placement — a "numpy" stamp pins the fallback everywhere,
+    # a "cv2" stamp makes an OpenCV-less worker raise instead of
+    # silently diverging (ADVICE r5; see kernels.image._cv2)
+    driver_engine = image_engine()
+    spark.sparkContext.setLocalProperty(ENGINE_PROP, driver_engine)
     pages = spark.read.parquet(pages_path)
     if dedupe:
         pages = dedupe_pages(pages)
@@ -353,17 +363,14 @@ def run_extraction(
         )
 
     wall = time.time() - t0
-    from ocr_api_spark.kernels.image import image_engine
-
     return {
         "rows": n_rows,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_rows / wall, 2) if wall > 0 else None,
         "buckets_skipped": len(done),
-        # reproducibility stamp (review r5): the image kernels dispatch
-        # to cv2 where installed (±1-2 LSB vs the numpy reference), so a
-        # run's provenance must record which engine the DRIVER resolved
-        # — and a mixed executor fleet should be pinned via
-        # spark.executorEnv OCR_API_SPARK_DISABLE_CV2 (see image_engine)
-        "image_engine": image_engine(),
+        # reproducibility stamp (review r5): which engine the DRIVER
+        # resolved — and, since the run stamped it onto every task as a
+        # local property, which engine every worker either used or
+        # refused to substitute (see kernels.image._cv2)
+        "image_engine": driver_engine,
     }

@@ -28,9 +28,17 @@ TABLES = [
 ]
 
 
-def _norm(v):
+def _norm(v, ndigits: int | None = None):
+    """Canonicalize one cell.  Floats compare EXACTLY by default
+    (ADVICE r5: a 1e-6 pre-round hid sub-rounding engine divergences —
+    the very drift class this tool exists to catch); ``ndigits`` is the
+    documented fallback used only to tell "diverged in the last ulps"
+    from "genuinely different", and rows equal only after rounding are
+    loudly WARNed, not silently passed."""
     if isinstance(v, float):
-        return round(v, 6) if not math.isnan(v) else "nan"
+        if math.isnan(v):
+            return "nan"
+        return v if ndigits is None else round(v, ndigits)
     return v.isoformat() if hasattr(v, "isoformat") else v
 
 
@@ -51,20 +59,28 @@ def sweep(sf_dir: str, spark) -> list[str]:
         try:
             sdf = qs[name](spark, sf_dir)
             cols = sorted(sdf.columns)
-            s_rows = sorted(
-                [tuple(_norm(x) for x in r) for r in sdf.select(*cols).collect()],
-                key=repr,
-            )
+            s_raw = [tuple(r) for r in sdf.select(*cols).collect()]
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             order = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            d_rows = sorted(
-                [tuple(_norm(r[i]) for i in order) for r in res.fetchall()], key=repr
-            )
+            d_raw = [tuple(r[i] for i in order) for r in res.fetchall()]
+
+            def rows(raw, nd=None):
+                return sorted([tuple(_norm(x, nd) for x in t) for t in raw], key=repr)
+
+            s_rows, d_rows = rows(s_raw), rows(d_raw)
             if cols != sorted(dcols):
                 fails.append(name)
                 print(f"  COLS {name}: {cols} vs {sorted(dcols)}")
             elif s_rows != d_rows:
+                # exact mismatch: is it last-ulp drift or a real diff?
+                if rows(s_raw, 6) == rows(d_raw, 6):
+                    print(
+                        f"  WARN {name}: rows equal only after 1e-6 rounding "
+                        "— engine drift below the old tolerance; pin the "
+                        "divergent column (decimal-sum / literal-lookup)"
+                    )
+                    continue
                 fails.append(name)
                 diff = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
                 first = diff[0] if diff else min(len(s_rows), len(d_rows))

@@ -413,3 +413,69 @@ def test_pdf_raster_null_payload_is_bad_pdf(session):
     )
     out = {r["url"]: r["raster_status"] for r in pdf_raster(df).collect()}
     assert out == {"ok": "ok", "null": "bad_pdf"}
+
+
+def test_engine_pin_propagates_to_tasks(session):
+    """ADVICE r5: the driver's image-engine resolution must reach every
+    task.  The ENGINE_PROP local property ships with each task; a
+    worker told "cv2" that has no OpenCV must raise (fail loudly), a
+    worker told "numpy" must dispatch numpy even if its env override is
+    cleared."""
+    from ocr_api_spark.kernels.image import ENGINE_PROP
+
+    sc = session.sparkContext
+
+    def probe(batches):
+        import os
+
+        import pandas as pd
+
+        # the conftest env pin would mask the task property — drop it
+        # INSIDE the worker so the property is the only pin in effect
+        os.environ.pop("OCR_API_SPARK_DISABLE_CV2", None)
+        try:
+            from ocr_api_spark.kernels.image import image_engine
+
+            for b in batches:
+                try:
+                    engine = image_engine()
+                    err = ""
+                except RuntimeError as e:
+                    engine, err = "raised", str(e)[:60]
+                yield pd.DataFrame({"n": b["id"], "engine": engine, "err": err})
+        finally:
+            os.environ["OCR_API_SPARK_DISABLE_CV2"] = "1"
+
+    df = session.range(4).repartition(2)
+    try:
+        sc.setLocalProperty(ENGINE_PROP, "numpy")
+        out = set(
+            r["engine"]
+            for r in df.mapInPandas(probe, "n long, engine string, err string").collect()
+        )
+        assert out == {"numpy"}
+
+        # driver said cv2, this fleet has none: divergence must be loud
+        sc.setLocalProperty(ENGINE_PROP, "cv2")
+        out = set(
+            r["engine"]
+            for r in df.mapInPandas(probe, "n long, engine string, err string").collect()
+        )
+        assert out == {"raised"}
+    finally:
+        sc.setLocalProperty(ENGINE_PROP, None)
+
+
+def test_run_extraction_stamps_engine_property(session, tmp_path):
+    """run_extraction resolves the engine driver-side and stamps it as
+    the task-local property for the whole run."""
+    from ocr_api_spark.kernels.image import ENGINE_PROP
+    from ocr_api_spark.plans.pipeline import run_extraction
+    from ocr_api_spark.sources.pages import write_pages
+
+    d = str(tmp_path / "pages")
+    paths = write_pages(d, n_rows=40, seed=7)
+    out = str(tmp_path / "out")
+    stats = run_extraction(session, paths["pages"], paths["claims"], out, n_buckets=4, n_salts=2)
+    assert stats["image_engine"] == "numpy"  # conftest pins numpy
+    assert session.sparkContext.getLocalProperty(ENGINE_PROP) == "numpy"
