@@ -426,6 +426,8 @@ def duplicated_substring_spans(
     id_col: str = "doc_id",
     window: int = 50,
     min_count: int = 2,
+    stride: int = 1,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact substring dedup (Lee et al. 2021, "Deduplicating Training
     Data Makes Language Models Better"): flag every maximal token span
@@ -447,11 +449,24 @@ def duplicated_substring_spans(
     factor at a recall cost, which is the documented scale knob.
 
     Plan note: expressed lazily, Catalyst computes the window-hash
-    projection twice (count side + probe side of the join back).  At
-    corpus scale a run materializes the (doc, pos, whash) table once to
-    its own parquet/cache first — the same pattern bench.py uses for
-    the minhash signature table — halving the heavy stage; the operator
-    itself stays composition-friendly (no hidden persist).
+    projection twice (count side + probe side of the join back).
+    ``materialize`` removes the recompute (the r5 verdict's knob, same
+    pattern bench.py uses for the minhash signature table): ``"cache"``
+    persists the (doc, pos, whash) table in executor storage for the
+    action's lifetime (caller may ``spark.catalog.clearCache()``
+    after); any other string is a directory path the table is written
+    to as parquet once and re-read from both sides — the caller owns
+    the path's lifecycle, which is how a 10^12-token run would stage it
+    as its own table anyway.  ``None`` (default) stays pure
+    composition, no hidden persist.
+
+    ``stride`` > 1 is the documented scale knob: windows start only at
+    positions ≡ 0 (mod stride), dropping hash-count shuffle volume by
+    the stride factor.  Recall cost: a duplicated passage is detected
+    only if a whole aligned window fits inside it on BOTH copies, and
+    span boundaries coarsen to stride granularity — stride=1 is exact
+    (identical output to the knob-less operator); the measured
+    cost/recall curve at the stress scale is in BENCH/BASELINE.md.
 
     Returns (id_col, span_start, span_end, n_windows): token offsets,
     0-based, ``span_end`` inclusive of the last token of the last
@@ -466,9 +481,14 @@ def duplicated_substring_spans(
     )
     wins = (
         words.withColumn("win", F.collect_list("word").over(frame))
-        .where(F.size("win") == window)
+        .where((F.size("win") == window) & (F.col("pos") % stride == 0))
         .select(id_col, "pos", F.md5(F.concat_ws(" ", "win")).alias("whash"))
     )
+    if materialize == "cache":
+        wins = wins.persist()
+    elif materialize:
+        wins.write.mode("overwrite").parquet(materialize)
+        wins = wins.sparkSession.read.parquet(materialize)
     counts = (
         wins.groupBy("whash")
         .agg(F.count("*").cast("bigint").alias("n"))
@@ -476,7 +496,9 @@ def duplicated_substring_spans(
     )
     flagged = wins.join(counts, "whash").select(id_col, "pos")
     islands = flagged.withColumn(
-        "grp", F.col("pos") - F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+        "grp",
+        (F.col("pos") / stride).cast("bigint")
+        - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
     )
     return (
         islands.groupBy(id_col, "grp")

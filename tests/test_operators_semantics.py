@@ -552,7 +552,57 @@ def test_duplicated_substring_spans_distinct_islands(session):
     assert spans == [(1, 0, 3), (1, 9, 12), (2, 1, 4), (2, 10, 13)]
 
 
-def test_hll_estimate_row_branches(session):
+def test_duplicated_substring_spans_materialize_and_stride1_identical(session, tmp_path):
+    """The r6 materialization knob must not change results: cache mode,
+    parquet-path mode, and stride=1 all emit exactly the default
+    operator's spans (materialize only removes Catalyst's double
+    computation of the window-hash projection)."""
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        (i, f"h{i}a h{i}b {passage} t{i}") for i in range(6)
+    ] + [(90, "z0 z1 z2 z3 z4 z5 z6 z7")]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+
+    def spans(**kw):
+        return sorted(
+            tuple(r) for r in duplicated_substring_spans(df, window=4, **kw).collect()
+        )
+
+    base = spans()
+    assert base  # the shared passage must actually flag
+    assert spans(stride=1) == base
+    assert spans(materialize="cache") == base
+    assert spans(materialize=str(tmp_path / "wins")) == base
+    session.catalog.clearCache()
+
+
+def test_duplicated_substring_spans_stride_semantics(session):
+    """stride=2: only even-aligned windows exist, so consecutive
+    flagged positions 2 apart must still merge into ONE span, and a
+    duplicated passage is found when an aligned window fits inside it
+    on both copies."""
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    # passage starts at pos 2 in doc 1 and pos 4 in doc 2: aligned
+    # (even) windows inside the passage exist in both docs
+    rows = [
+        (1, f"a0 a1 {passage} a2"),
+        (2, f"b0 b1 b2 b3 {passage}"),
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_substring_spans(df, window=4, stride=2).collect()
+    }
+    # doc1: window starts in passage at even pos 2,4,6,8 (pos+3 <= 11);
+    # doc2: even pos 4,6,8,10 — shared window TEXTS are the 7 aligned
+    # passage windows p0..p3, p2..p5, p4..p7, p6..p9 → per doc those at
+    # even positions: doc1 pos 2(p0..p3),4(p2..),6(p4..),8(p6..);
+    # doc2 pos 4(p0..p3),6,8,10 — all flagged, strided islands merge
+    assert got == {1: (2, 11, 4), 2: (4, 13, 4)}
     """The single-row estimator DataFrame: small cardinality takes the
     linear-counting branch, large takes the raw harmonic branch, and
     both agree with the driver-side hll_estimate to the 4-dp round."""
