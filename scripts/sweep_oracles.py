@@ -102,6 +102,8 @@ def main() -> int:
     from ocr_api_spark.plans.session import build_session
 
     base = "/root/testdata"
+    # args may be driver SF tags (sf0.01) or paths to generated SF dirs
+    # (dist/testdata/sf1.0 from scripts/gen_scaled_sf.py)
     wanted = sys.argv[1:] or sorted(
         d for d in os.listdir(base) if d.startswith("sf")
     )
@@ -111,7 +113,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     bad = 0
     for sf in wanted:
-        sf_dir = os.path.join(base, sf)
+        sf_dir = sf if os.path.isdir(sf) else os.path.join(base, sf)
         print(f"== {sf_dir}")
         fails = sweep(sf_dir, spark)
         if fails:
