@@ -1,18 +1,32 @@
-"""Executor-level scaling evidence: ``local-cluster[N, 4, mem]`` runs N
+"""Executor-level scaling evidence: ``local-cluster[N, c, mem]`` runs N
 real executor JVMs (own heap, own Python worker pool, netty shuffle) —
 the faithful sandbox stand-in for "N executors vs 4N executors"
 (north_rule), unlike shared-JVM local[k] threads.  The package ships to
 executors as the --py-files zip, exactly like the production launch.
 
+Two topologies (r6):
+
+- ``same-size`` (default, the honest north-rule proxy): executors of
+  ONE core each, ``local-cluster[4,1,m]`` vs ``local-cluster[16,1,m]``.
+  A real cluster comparison holds the executor size constant and
+  varies the COUNT; the remote-shuffle fraction is then nearly matched
+  between levels (1-1/N = 75% vs 1-1/4N = 93.75%).
+- ``grow-exec`` (the r3-r5 shape, kept for trend continuity):
+  ``local-cluster[1,4,m]`` vs ``local-cluster[4,4,m]``.  This compares
+  a 100%-LOCAL-shuffle baseline against a 75%-remote one — a cost
+  cliff that exists only between the two sandbox levels, not between
+  N and 4N executors of a real cluster, so it UNDERSTATES real
+  scaling (r5 measured 0.715 in this mode vs 0.843 for threads).
+
 Usage: python BENCH/scaling_cluster.py [n_base_rows] [replicate]
-Compares local-cluster[1,4] vs local-cluster[4,4] on the same input.
+Env: SPARK_GRAFT_CLUSTER_MODE = same-size | grow-exec
+     SPARK_GRAFT_SCALE_TRIALS (default 2)
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import subprocess
 import sys
 import tempfile
@@ -22,13 +36,14 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
 from pyspark.sql import SparkSession
 
-n_exec = int(sys.argv[1])
-pages_path, claims_path, pyzip = sys.argv[2], sys.argv[3], sys.argv[4]
+n_exec, exec_cores, exec_mem = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+pages_path, claims_path, pyzip = sys.argv[4], sys.argv[5], sys.argv[6]
+cores = n_exec * exec_cores
 os.makedirs("/dev/shm/spark_local", exist_ok=True)
 spark = (
-    SparkSession.builder.appName(f"scaling-cluster-{n_exec}")
-    .master(f"local-cluster[{n_exec},4,8192]")
-    .config("spark.sql.shuffle.partitions", str(n_exec * 8))
+    SparkSession.builder.appName(f"scaling-cluster-{n_exec}x{exec_cores}")
+    .master(f"local-cluster[{n_exec},{exec_cores},{exec_mem}]")
+    .config("spark.sql.shuffle.partitions", str(cores * 2))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     .config("spark.local.dir", "/dev/shm/spark_local")
@@ -39,8 +54,6 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile(pyzip)
 from ocr_api_spark.plans.pipeline import extraction_plan
-
-cores = n_exec * 4
 
 def job(out, pages):
     claims = spark.read.parquet(claims_path)
@@ -65,7 +78,8 @@ wall = time.time() - t0
 tot1, st1 = cpu_stat()
 n = spark.read.parquet(out).count()
 shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-print(json.dumps({"executors": n_exec, "rows": n, "wall_s": round(wall, 3),
+print(json.dumps({"executors": n_exec, "exec_cores": exec_cores, "rows": n,
+                  "wall_s": round(wall, 3),
                   "docs_per_sec": round(n / wall, 2),
                   "host_steal_pct": round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)}))
 spark.stop()
@@ -82,18 +96,26 @@ def main() -> None:
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     env = dict(os.environ, SPARK_GRAFT_REPO=repo)
 
+    mode = os.environ.get("SPARK_GRAFT_CLUSTER_MODE", "same-size")
+    if mode == "same-size":
+        # 1-core executors, 2 GB each: 4 vs 16 JVMs
+        levels = [(4, 1, 2048), (16, 1, 2048)]
+    else:
+        levels = [(1, 4, 8192), (4, 4, 8192)]
+
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     big = os.path.join(shm, f"spark_graft_scaling_heavy_{n_base}x{replicate}")
     if not os.path.exists(os.path.join(big, "_DONE")):
         raise SystemExit(f"run BENCH/scaling.py once first to build {big}")
 
     n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-    trials: dict[int, list[float]] = {1: [], 4: []}
+    trials: dict[int, list[float]] = {levels[0][0]: [], levels[1][0]: []}
     rows = None
     for _ in range(n_trials):
-        for n_exec in (1, 4):
+        for n_exec, c, mem in levels:
             out = subprocess.run(
-                [sys.executable, "-c", WORKER, str(n_exec), f"{big}/pages.parquet", f"{big}/claims.parquet", pyzip],
+                [sys.executable, "-c", WORKER, str(n_exec), str(c), str(mem),
+                 f"{big}/pages.parquet", f"{big}/claims.parquet", pyzip],
                 capture_output=True,
                 text=True,
                 env=env,
@@ -110,19 +132,21 @@ def main() -> None:
         m = len(xs) // 2
         return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
 
-    t1, t4 = median(trials[1]), median(trials[4])
+    (n_lo, c_lo, _), (n_hi, c_hi, _) = levels
+    t_lo, t_hi = median(trials[n_lo]), median(trials[n_hi])
     print(
         json.dumps(
             {
+                "mode": mode,
                 "rows": rows,
-                "executors_n": 1,
-                "executors_4n": 4,
-                "cores_each": 4,
-                "n_docs_per_sec_median": t1,
-                "4n_docs_per_sec_median": t4,
-                "all_n": trials[1],
-                "all_4n": trials[4],
-                "scaling_efficiency_n_to_4n": round(t4 / (4 * t1), 3),
+                "executors_n": n_lo,
+                "executors_4n": n_hi,
+                "cores_each": c_lo,
+                "n_docs_per_sec_median": t_lo,
+                "4n_docs_per_sec_median": t_hi,
+                "all_n": trials[n_lo],
+                "all_4n": trials[n_hi],
+                "scaling_efficiency_n_to_4n": round(t_hi / (4 * t_lo), 3),
             }
         )
     )
