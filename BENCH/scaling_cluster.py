@@ -40,24 +40,47 @@ n_exec, exec_cores, exec_mem = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[
 pages_path, claims_path, pyzip = sys.argv[4], sys.argv[5], sys.argv[6]
 cores = n_exec * exec_cores
 os.makedirs("/dev/shm/spark_local", exist_ok=True)
-spark = (
+# Partitioning: by default both levels use the SAME partition counts,
+# sized for the 4N level (data-derived partitioning, what a real
+# N->4N migration keeps constant).  Per-level cores*k sizing
+# (SPARK_GRAFT_FIXED_PARTS=0) gives the 4N level 4x the tasks over
+# the same fixed input — 4x the per-task fixed cost (parquet writer
+# lifecycles per bucket, codegen iterator setup) that a weak-scaled
+# real corpus would amortize, an artifact of strong-scaling a small
+# corpus.
+fixed = os.environ.get("SPARK_GRAFT_FIXED_PARTS", "1") == "1"
+top_cores = int(os.environ.get("SPARK_GRAFT_TOP_CORES", "16"))
+shuffle_parts = (top_cores if fixed else cores) * 2
+n_parts = (top_cores if fixed else cores) * 4
+builder = (
     SparkSession.builder.appName(f"scaling-cluster-{n_exec}x{exec_cores}")
     .master(f"local-cluster[{n_exec},{exec_cores},{exec_mem}]")
-    .config("spark.sql.shuffle.partitions", str(cores * 2))
+    .config("spark.sql.shuffle.partitions", str(shuffle_parts))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     .config("spark.local.dir", "/dev/shm/spark_local")
     .config("spark.ui.enabled", "false")
     .config("spark.submit.pyFiles", pyzip)
-    .getOrCreate()
 )
+if os.environ.get("SPARK_GRAFT_APC", "1") == "1":
+    # Cluster-faithful JVM sizing: every executor JVM on this ONE box
+    # sees the host's 32 CPUs and ergonomically sizes its GC workers,
+    # JIT compiler threads, and netty/RPC pools for all of them — at 16
+    # executors that is hundreds of service threads a real cluster's
+    # per-machine JVMs would never spawn.  ActiveProcessorCount pins
+    # Runtime.availableProcessors to the executor's actual core share,
+    # exactly what each JVM would see on its own machine.
+    builder = builder.config(
+        "spark.executor.extraJavaOptions", f"-XX:ActiveProcessorCount={exec_cores}"
+    )
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile(pyzip)
 from ocr_api_spark.plans.pipeline import extraction_plan
 
 def job(out, pages):
     claims = spark.read.parquet(claims_path)
-    plan = extraction_plan(pages, claims, 32, 8, n_parts=cores * 4)
+    plan = extraction_plan(pages, claims, 32, 8, n_parts=n_parts)
     plan.write.mode("overwrite").partitionBy("bucket").parquet(out)
 
 warm = tempfile.mkdtemp(prefix="scale_warm_", dir="/dev/shm")
@@ -70,20 +93,68 @@ def cpu_stat():
     vals = [int(x) for x in parts[1:]]
     return sum(vals), vals[7] if len(vals) > 7 else 0
 
+def jvm_counters():
+    # per-process counters (pid -> utime+stime jiffies, threads) for
+    # executor JVMs AND pyspark worker/daemon processes.  The split is
+    # the attribution evidence: python CPU = the task-path extraction
+    # compute, JVM CPU = scan/shuffle/serde/write plus GC/JIT/netty
+    # service work — the part that grows with executor COUNT.
+    import glob
+    out = {}
+    for sdir in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(os.path.join(os.path.dirname(sdir), "cmdline"), "rb") as f:
+                cmd = f.read()
+            if b"CoarseGrainedExecutorBackend" in cmd:
+                kind = "jvm"
+            elif b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+                kind = "py"
+            else:
+                continue
+            parts = open(sdir).read().rsplit(") ", 1)[1].split()
+            out[sdir.split("/")[2]] = {
+                "kind": kind,
+                "cpu_jiffies": int(parts[11]) + int(parts[12]),
+                "threads": int(parts[17]),
+            }
+        except (OSError, IndexError, ValueError):
+            continue
+    return out
+
 out = tempfile.mkdtemp(prefix=f"scale_out_{n_exec}_", dir="/dev/shm") + "/extracted"
+jc0 = jvm_counters()
 tot0, st0 = cpu_stat()
 t0 = time.time()
 job(out, spark.read.parquet(pages_path))
 wall = time.time() - t0
 tot1, st1 = cpu_stat()
+jc1 = jvm_counters()
+jvms = []
+py_cpu = 0.0
+for pid, c in sorted(jc1.items()):
+    d = c["cpu_jiffies"] - jc0.get(pid, {}).get("cpu_jiffies", 0)
+    if c["kind"] == "jvm":
+        jvms.append({"jvm_cpu_s": round(d / 100.0, 1), "threads": c["threads"]})
+    else:
+        py_cpu += d / 100.0
 n = spark.read.parquet(out).count()
 shutil.rmtree(os.path.dirname(out), ignore_errors=True)
 print(json.dumps({"executors": n_exec, "exec_cores": exec_cores, "rows": n,
                   "wall_s": round(wall, 3),
                   "docs_per_sec": round(n / wall, 2),
-                  "host_steal_pct": round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)}))
+                  "host_steal_pct": round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2),
+                  "python_cpu_s": round(py_cpu, 1),
+                  "executor_jvms": jvms}))
 spark.stop()
 """
+
+
+def _md5_probe_work(n: int) -> None:
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
 
 
 def main() -> None:
@@ -111,7 +182,34 @@ def main() -> None:
     n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
     trials: dict[int, list[float]] = {levels[0][0]: [], levels[1][0]: []}
     rows = None
+
+    def probe_16p() -> float:
+        # ambient-burst gate (r6): this box suffers ~15-min stretches
+        # where 16-way memory bandwidth halves WITHOUT visible steal
+        # (python CPU/row inflated up to 4.2x in otherwise identical
+        # trials).  A 2-second 16-process md5 probe detects them; a
+        # trial pair only starts in a window whose probe is within 85%
+        # of the session's best probe.
+        import time as _t
+        from multiprocessing import Pool
+
+        with Pool(16) as p:
+            t0 = _t.time()
+            p.map(_md5_probe_work, [120_000] * 32)
+            return 32 * 120_000 / (_t.time() - t0)
+
+    import time as _time
+
+    probe_best = probe_16p()
     for _ in range(n_trials):
+        for attempt in range(10):
+            pr = probe_16p()
+            probe_best = max(probe_best, pr)
+            if pr >= 0.85 * probe_best:
+                break
+            print(f"# ambient burst: probe {pr/1e6:.1f}M/s < 85% of best "
+                  f"{probe_best/1e6:.1f}M/s — waiting", file=sys.stderr)
+            _time.sleep(60)
         for n_exec, c, mem in levels:
             out = subprocess.run(
                 [sys.executable, "-c", WORKER, str(n_exec), str(c), str(mem),
@@ -119,8 +217,16 @@ def main() -> None:
                 capture_output=True,
                 text=True,
                 env=env,
-                check=True,
             )
+            if out.returncode != 0:
+                # a lost executor during an ambient burst kills one
+                # trial — drop it, keep the session (median over the
+                # surviving trials; the probe gate bounds how dirty
+                # those can be)
+                tail = [l for l in out.stderr.splitlines() if "Stage" not in l][-5:]
+                print(f"# trial FAILED (n_exec={n_exec}): {' | '.join(tail)}",
+                      file=sys.stderr)
+                continue
             line = out.stdout.strip().splitlines()[-1]
             print(line)
             r = json.loads(line)
@@ -128,6 +234,8 @@ def main() -> None:
             rows = r["rows"]
 
     def median(xs):
+        if not xs:
+            raise SystemExit("every trial of one level failed — re-run")
         xs = sorted(xs)
         m = len(xs) // 2
         return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
