@@ -361,7 +361,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # same steal-window gating as the codecs: the chain is single-core
     # numpy, equally exposed to ambient bursts (flagged metric, r4)
     _preocr_once()  # warm
-    extras["kernel_preocr_images_per_sec_core"] = best_rate(_preocr_once, 2, groups=6)
+    extras["kernel_preocr_images_per_sec_core"] = best_rate(_preocr_once, 2, groups=8)
 
     jb = encode_jpeg(scan, quality=85, progressive=True)
     decode_jpeg(jb)  # warm

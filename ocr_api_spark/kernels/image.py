@@ -472,6 +472,7 @@ def clahe(
     # expression is evaluated with identical operand order and values,
     # so the output is bit-identical to the gathered form.
     out = np.empty((ph, pw), dtype=np.uint8)
+    luts_f = luts.astype(np.float64)
     row_starts = np.searchsorted(ty1, np.arange(-1, tiles_y), side="left")
     row_bounds = list(row_starts) + [ph]
     col_starts = np.searchsorted(tx1, np.arange(-1, tiles_x), side="left")
@@ -488,10 +489,14 @@ def clahe(
                 continue
             l1, l2 = max(c, 0), min(c + 1, tiles_x - 1)
             vreg = padded[r0:r1, c0:c1]
-            tl = luts[t1, l1][vreg].astype(np.float64)
-            tr = luts[t1, l2][vreg].astype(np.float64)
-            bl = luts[t2, l1][vreg].astype(np.float64)
-            br = luts[t2, l2][vreg].astype(np.float64)
+            # gather through float64 LUTs (256 entries converted once
+            # per region): identical values to gathering uint8 then
+            # astype — the conversion commutes with the lookup — minus
+            # four full-frame intermediate uint8 arrays
+            tl = luts_f[t1, l1][vreg]
+            tr = luts_f[t1, l2][vreg]
+            bl = luts_f[t2, l1][vreg]
+            br = luts_f[t2, l2][vreg]
             xa = xa_col[None, c0:c1]
             blend = (tl * (1 - xa) + tr * xa) * (1 - ya) + (bl * (1 - xa) + br * xa) * ya
             out[r0:r1, c0:c1] = np.clip(np.rint(blend), 0, 255).astype(np.uint8)
