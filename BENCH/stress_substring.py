@@ -23,32 +23,14 @@ import json
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _steal_window():
-    with open("/proc/stat") as f:
-        vals = [int(x) for x in f.readline().split()[1:]]
-    return sum(vals), vals[7] if len(vals) > 7 else 0
-
-
-def timed(fn, trials: int = 2) -> tuple[float, list]:
-    best, samples = float("inf"), []
-    for _ in range(trials):
-        s0 = _steal_window()
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        s1 = _steal_window()
-        steal = round(100.0 * (s1[1] - s0[1]) / max(s1[0] - s0[0], 1), 2)
-        samples.append((round(dt, 2), steal))
-        if steal <= 0.5:
-            best = min(best, dt)
-    if best == float("inf"):  # every window dirty: fastest is least-wrong
-        best = min(s[0] for s in samples)
-    return round(best, 2), samples
+# timing discipline is bench.py's timed_best — ONE shared steal-gated
+# best-of implementation (review r6: a locally re-implemented gate with
+# its own threshold meant numbers recorded side by side in
+# BENCH/BASELINE.md were gated by two different disciplines)
 
 
 def main() -> None:
@@ -95,6 +77,8 @@ def main() -> None:
     mat_path = "/dev/shm/substring_wins"
     coverage_ref: dict[str, int] = {}
 
+    from bench import timed_best
+
     def run(stride: int, materialize: str | None):
         state = {}
 
@@ -107,13 +91,18 @@ def main() -> None:
                 F.sum(F.col("span_end") - F.col("span_start") + 1).alias("coverage"),
             ).collect()[0]
             state["n_spans"], state["coverage"] = agg["n_spans"], int(agg["coverage"] or 0)
+
+        def cleanup():
+            # inter-trial bookkeeping OUTSIDE the timed window (review
+            # r6: charging a trial with the previous trial's cache
+            # clear / rmtree understated the knob's benefit)
             if materialize == "cache":
                 spark.catalog.clearCache()
                 corpus.persist().count()  # keep the corpus pinned for the next config
             elif materialize:
                 shutil.rmtree(materialize, ignore_errors=True)
 
-        best, samples = timed(once)
+        best, samples, _clean = timed_best(once, trials=2, max_attempts=4, between=cleanup)
         if stride == 1 and materialize is None:
             coverage_ref["cov"] = state["coverage"]
         rec = {

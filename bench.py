@@ -79,7 +79,9 @@ def _steal_pct() -> float | None:
     return round(100.0 * ds / max(dt, 1), 2)
 
 
-def timed_best(fn, trials: int = 3, max_attempts: int | None = None) -> tuple[float, list[float], int]:
+def timed_best(
+    fn, trials: int = 3, max_attempts: int | None = None, between=None
+) -> tuple[float, list[float], int]:
     """Best-of-``trials`` CLEAN wall-time samples of ``fn``, each trial
     gated on its OWN /proc/stat steal window (the kernel-extras
     discipline from r5, extended to the Spark-query section per the r5
@@ -87,6 +89,10 @@ def timed_best(fn, trials: int = 3, max_attempts: int | None = None) -> tuple[fl
     the record).  Dirty windows are re-run (bounded); if every window
     was dirty the fastest dirty sample is the least-wrong answer (a
     noisy neighbor only ever slows a query down).
+
+    ``between`` (optional) runs after each sample OUTSIDE the timed
+    window — inter-trial bookkeeping (cache clears, output deletion)
+    must not pollute the measurement (review r6).
 
     Returns ``(best_sec, all_samples, clean_count)`` — samples are
     recorded in run order so the spread is on the record."""
@@ -102,6 +108,8 @@ def timed_best(fn, trials: int = 3, max_attempts: int | None = None) -> tuple[fl
         fn()
         dt = time.time() - t0
         s1 = _cpu_jiffies()
+        if between is not None:
+            between()
         samples.append(round(dt, 3))
         best_any = min(best_any, dt)
         if s0 is not None and s1 is not None:
@@ -151,6 +159,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spreads: dict[str, list[float]] = {}
     state: dict = {}
 
+    state["dirs"] = []
+
     def _extract_once():
         out = tempfile.mkdtemp(prefix="bench_out_")
         state["stats"] = run_extraction(
@@ -161,10 +171,20 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             n_buckets=max(cpus * 2, 16),
             n_salts=8,
         )
-        shutil.rmtree(state.get("out_dir", ""), ignore_errors=True)
+        state["dirs"].append(out)
         state["out_dir"] = out
 
-    best, samples, clean = timed_best(_extract_once, trials=2, max_attempts=4)
+    def _drop_old_outputs():
+        # prior trials' bucketed outputs: deleted OUTSIDE the timed
+        # window (review r6: an in-window rmtree charged trial N with
+        # trial N-1's cleanup)
+        for d in state["dirs"][:-1]:
+            shutil.rmtree(d, ignore_errors=True)
+        state["dirs"] = state["dirs"][-1:]
+
+    best, samples, clean = timed_best(
+        _extract_once, trials=2, max_attempts=4, between=_drop_old_outputs
+    )
     timings["extraction_pipeline"] = best
     spreads["extraction_pipeline"] = samples
     out_dir = state["out_dir"]

@@ -83,19 +83,28 @@ ENGINE_PROP = "ocr_api_spark.image_engine"
 
 
 def _task_engine_pin() -> str | None:
-    """The fleet-wide pin visible to THIS process, if any: the env
-    override beats the driver-stamped task property; on the driver
-    (no TaskContext) there is no pin."""
-    if os.environ.get("OCR_API_SPARK_DISABLE_CV2"):
-        return "numpy"
+    """The fleet-wide pin visible to THIS process, if any.  The
+    driver-stamped task property outranks a local env override (review
+    r6): if one node's environment carries a stale
+    OCR_API_SPARK_DISABLE_CV2 under a driver-resolved "cv2" run, env
+    precedence would have that worker silently emit ±1-2-LSB-different
+    pixels while the run metrics stamp cv2 — the exact divergence the
+    property exists to close.  With property precedence the worker
+    attempts cv2 and fails LOUDLY if it genuinely can't comply.  The
+    env var still pins processes with no stamped task (pure-kernel
+    use, the pytest suite, un-stamped jobs)."""
     try:
         from pyspark import TaskContext
 
         tc = TaskContext.get()
         if tc is not None:
-            return tc.getLocalProperty(ENGINE_PROP)
+            prop = tc.getLocalProperty(ENGINE_PROP)
+            if prop:
+                return prop
     except Exception:  # pragma: no cover - pyspark absent in pure-kernel use
         pass
+    if os.environ.get("OCR_API_SPARK_DISABLE_CV2"):
+        return "numpy"
     return None
 
 

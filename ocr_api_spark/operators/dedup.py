@@ -462,11 +462,19 @@ def duplicated_substring_spans(
 
     ``stride`` > 1 is the documented scale knob: windows start only at
     positions ≡ 0 (mod stride), dropping hash-count shuffle volume by
-    the stride factor.  Recall cost: a duplicated passage is detected
-    only if a whole aligned window fits inside it on BOTH copies, and
-    span boundaries coarsen to stride granularity — stride=1 is exact
-    (identical output to the knob-less operator); the measured
-    cost/recall curve at the stress scale is in BENCH/BASELINE.md.
+    the stride factor.  Recall cost (review r6 — the sharp edge, same
+    as any strided fingerprinting): a duplicated passage is detected
+    only when its two copies start at offsets CONGRUENT mod stride —
+    misaligned copies share no aligned window text no matter how long
+    the passage, so expected recall on independently-positioned
+    duplicates is ~1/stride of the aligned case, NOT the near-1
+    figures from the replicated-corpus stress (whose copies are
+    position-congruent by construction; BENCH/BASELINE.md documents
+    both).  Winnowing-style window-min sampling fixes the alignment
+    sensitivity at the cost of variable span granularity — prefer
+    stride=1 (exact, identical output to the knob-less operator)
+    unless the corpus duplicates are alignment-stable (exact page
+    copies, templated boilerplate).
 
     Returns (id_col, span_start, span_end, n_windows): token offsets,
     0-based, ``span_end`` inclusive of the last token of the last

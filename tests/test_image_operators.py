@@ -462,6 +462,28 @@ def test_engine_pin_propagates_to_tasks(session):
             for r in df.mapInPandas(probe, "n long, engine string, err string").collect()
         )
         assert out == {"raised"}
+
+        # review r6: a worker-local env override must NOT silently beat
+        # a driver "cv2" stamp — the property outranks the env var, so
+        # even with OCR_API_SPARK_DISABLE_CV2 still set (conftest; NOT
+        # popped here) the worker attempts cv2 and raises loudly
+        def probe_env_kept(batches):
+            import pandas as pd
+
+            from ocr_api_spark.kernels.image import image_engine
+
+            for b in batches:
+                try:
+                    engine = image_engine()
+                except RuntimeError:
+                    engine = "raised"
+                yield pd.DataFrame({"n": b["id"], "engine": engine, "err": ""})
+
+        out = set(
+            r["engine"]
+            for r in df.mapInPandas(probe_env_kept, "n long, engine string, err string").collect()
+        )
+        assert out == {"raised"}
     finally:
         sc.setLocalProperty(ENGINE_PROP, None)
 

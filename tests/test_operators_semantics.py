@@ -603,6 +603,9 @@ def test_duplicated_substring_spans_stride_semantics(session):
     # even positions: doc1 pos 2(p0..p3),4(p2..),6(p4..),8(p6..);
     # doc2 pos 4(p0..p3),6,8,10 — all flagged, strided islands merge
     assert got == {1: (2, 11, 4), 2: (4, 13, 4)}
+
+
+def test_hll_estimate_row_branches(session):
     """The single-row estimator DataFrame: small cardinality takes the
     linear-counting branch, large takes the raw harmonic branch, and
     both agree with the driver-side hll_estimate to the 4-dp round."""
