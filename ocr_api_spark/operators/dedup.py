@@ -487,9 +487,15 @@ def duplicated_substring_spans(
     frame = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, window - 1)
     )
+    keep = F.size("win") == window
+    if stride > 1:
+        # only strided starts survive; at stride=1 the predicate is
+        # omitted entirely (Catalyst does not fold `pos % 1 = 0` away,
+        # and the default path must compile to the identical plan)
+        keep = keep & (F.col("pos") % stride == 0)
     wins = (
         words.withColumn("win", F.collect_list("word").over(frame))
-        .where((F.size("win") == window) & (F.col("pos") % stride == 0))
+        .where(keep)
         .select(id_col, "pos", F.md5(F.concat_ws(" ", "win")).alias("whash"))
     )
     if materialize == "cache":
@@ -503,10 +509,10 @@ def duplicated_substring_spans(
         .where(F.col("n") >= min_count)
     )
     flagged = wins.join(counts, "whash").select(id_col, "pos")
+    grp_pos = F.col("pos") if stride == 1 else (F.col("pos") / stride).cast("bigint")
     islands = flagged.withColumn(
         "grp",
-        (F.col("pos") / stride).cast("bigint")
-        - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+        grp_pos - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
     )
     return (
         islands.groupBy(id_col, "grp")
