@@ -304,6 +304,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extras["dedup_docs_per_sec"] = round(n_docs_dedup / max(extras["dedup_pipeline_sec"], 1e-9))
     extras["substring_dedup_sec"], extras["substring_dup_spans"] = _substring_stage(docs)
 
+    # stop Spark BEFORE the single-core kernel micros: the idle driver
+    # JVM (GC/heartbeat/netty service threads) plus 32 reused Python
+    # workers jitter single-core numpy timings — the kernels don't need
+    # Spark, so they shouldn't share the box with it (r6: in-bench
+    # pre-OCR read ~10% below the same kernel's standalone A/B)
+    spark.stop()
+
     # single-core kernel micro-numbers: the scale-predictive figures
     # (e2e docs/sec at this sf is fixed-cost-dominated; these are not)
     import random
@@ -348,15 +355,36 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from ocr_api_spark.kernels.jpeg import decode_jpeg, encode_jpeg
     from ocr_api_spark.kernels.png import decode_png, encode_png
 
+    import hashlib
+
+    probe_state = {"best": 0.0}
+
+    def _md5_ref_rate() -> float:
+        # ~25 ms calibrated single-core probe: ambient bursts on this
+        # box inflate CPU time per unit work 2-4x WITHOUT showing as
+        # steal (r6 scaling evidence), so a steal gate alone waves
+        # dirty windows through.  A fixed-work md5 chain gives a
+        # machine-relative cleanliness reference.
+        h = b"x" * 64
+        n = 60_000
+        t0 = time.time()
+        for _ in range(n):
+            h = hashlib.md5(h).digest()
+        r = n / (time.time() - t0)
+        probe_state["best"] = max(probe_state["best"], r)
+        return r
+
+    _md5_ref_rate()  # warm + seed
+
     def best_rate(fn, reps: int, groups: int = 6) -> float:
         # peak single-core capability: best of `groups` CLEAN timed
         # groups.  One ambient scheduling blip must not masquerade as a
         # codec regression — and r4 showed the run-level steal average
         # hides it: the driver artifact recorded 7.2 jpeg frames/s/core
         # at 0.32% overall steal while quiet-window samples read
-        # 9.6-11.8.  So each group is gated on its OWN /proc/stat steal
-        # window (re-run dirty groups, bounded), and more, shorter
-        # groups raise the odds of landing in a quiet window.
+        # 9.6-11.8.  Each group is gated on its OWN /proc/stat steal
+        # window AND on the calibrated md5 probe (≥85% of session
+        # best) — the latter catches the no-steal membw bursts.
         best = best_any = 0.0
         clean = attempts = 0
         while clean < groups and attempts < groups * 3:
@@ -372,6 +400,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
                 jf, js = s1[0] - s0[0], s1[1] - s0[1]
                 if jf > 0 and 100.0 * js / jf > 1.0:
                     continue  # dirty window: measurement not comparable
+            if _md5_ref_rate() < 0.85 * probe_state["best"]:
+                continue  # no-steal ambient burst: same verdict
             clean += 1
             best = max(best, reps / dt)
         # if EVERY window was dirty the fastest dirty sample is still the
@@ -408,7 +438,6 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "sf": sf,
         **extras,
     }
-    spark.stop()
     return result
 
 
