@@ -428,6 +428,7 @@ def duplicated_substring_spans(
     min_count: int = 2,
     stride: int = 1,
     materialize: str | None = None,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Exact substring dedup (Lee et al. 2021, "Deduplicating Training
     Data Makes Language Models Better"): flag every maximal token span
@@ -470,11 +471,20 @@ def duplicated_substring_spans(
     duplicates is ~1/stride of the aligned case, NOT the near-1
     figures from the replicated-corpus stress (whose copies are
     position-congruent by construction; BENCH/BASELINE.md documents
-    both).  Winnowing-style window-min sampling fixes the alignment
-    sensitivity at the cost of variable span granularity — prefer
-    stride=1 (exact, identical output to the knob-less operator)
-    unless the corpus duplicates are alignment-stable (exact page
-    copies, templated boilerplate).
+    both).  Prefer stride=1 (exact, identical output to the knob-less
+    operator) unless the corpus duplicates are alignment-stable (exact
+    page copies, templated boilerplate).
+
+    ``sample_mod`` = m is the ALIGNMENT-ROBUST volume knob (content-
+    defined sampling, the winnowing/CDC family): a window is kept iff
+    its own hash ≡ 0 (mod m), so identical passage text selects
+    identical windows in every copy REGARDLESS of position — expected
+    1/m of the hash-count shuffle, recall 1-(1-1/m)^(L-w+1) for an
+    L-token duplicated passage (→1 fast for passages ≫ m windows, at
+    ANY offset).  Span boundaries become approximate: flagged sampled
+    positions merge into one span when gapped ≤ 4·m windows (sampled
+    gaps are geometric with mean m).  Mutually exclusive with
+    ``stride`` (positional vs content-defined sampling).
 
     Returns (id_col, span_start, span_end, n_windows): token offsets,
     0-based, ``span_end`` inclusive of the last token of the last
@@ -487,6 +497,8 @@ def duplicated_substring_spans(
     frame = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, window - 1)
     )
+    if sample_mod is not None and stride > 1:
+        raise ValueError("stride and sample_mod are alternative sampling schemes — set one")
     keep = F.size("win") == window
     if stride > 1:
         # only strided starts survive; at stride=1 the predicate is
@@ -498,6 +510,13 @@ def duplicated_substring_spans(
         .where(keep)
         .select(id_col, "pos", F.md5(F.concat_ws(" ", "win")).alias("whash"))
     )
+    if sample_mod is not None and sample_mod > 1:
+        # content-defined selection on the hash ITSELF: the same
+        # passage text keeps the same windows in every copy, at any
+        # alignment (first 8 hex chars → 32-bit int, uniform mod m)
+        wins = wins.where(
+            F.conv(F.substring("whash", 1, 8), 16, 10).cast("bigint") % sample_mod == 0
+        )
     if materialize == "cache":
         wins = wins.persist()
     elif materialize:
@@ -509,11 +528,19 @@ def duplicated_substring_spans(
         .where(F.col("n") >= min_count)
     )
     flagged = wins.join(counts, "whash").select(id_col, "pos")
-    grp_pos = F.col("pos") if stride == 1 else (F.col("pos") / stride).cast("bigint")
-    islands = flagged.withColumn(
-        "grp",
-        grp_pos - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
-    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    if sample_mod is not None and sample_mod > 1:
+        # sampled positions sit ~m apart (geometric); consecutive
+        # flagged samples within 4·m tokens belong to one duplicated
+        # region — islands via gap-threshold cumulative grouping
+        tol = 4 * sample_mod
+        islands = flagged.withColumn(
+            "new_grp",
+            F.when(F.col("pos") - F.lag("pos").over(w_doc) > tol, 1).otherwise(0),
+        ).withColumn("grp", F.sum("new_grp").over(w_doc)).drop("new_grp")
+    else:
+        grp_pos = F.col("pos") if stride == 1 else (F.col("pos") / stride).cast("bigint")
+        islands = flagged.withColumn("grp", grp_pos - F.row_number().over(w_doc))
     return (
         islands.groupBy(id_col, "grp")
         .agg(

@@ -683,3 +683,48 @@ def test_star_cc_ignores_phantom_pair_ids(session):
         for r in connected_components(pairs, nodes, algorithm="star").collect()
     }
     assert lp == st == {3: 3, 5: 5}
+
+
+def test_duplicated_substring_spans_sample_mod_alignment_robust(session):
+    """Content-defined sampling (sample_mod) must find a duplicated
+    passage whose copies sit at offsets INCONGRUENT mod the sampling
+    rate — the exact miss mode of positional stride (review r6): the
+    selection keys on the window hash itself, so both copies keep the
+    same windows at any alignment."""
+    import pytest
+
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    passage = " ".join(f"p{i}" for i in range(40))
+    rows = [
+        (1, f"a0 a1 {passage}"),          # passage starts at pos 2
+        (2, f"b0 b1 b2 {passage}"),       # pos 3: incongruent mod 2
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7"),
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+
+    # positional stride=2 structurally misses the misaligned pair
+    strided = duplicated_substring_spans(df, window=4, stride=2).collect()
+    assert strided == []
+
+    # content-defined sampling at the same expected volume finds it
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_substring_spans(df, window=4, sample_mod=2).collect()
+    }
+    assert set(got) == {1, 2}
+    # spans cover (a subset of) the passage region in each doc, offset
+    # by each doc's own prefix — approximate bounds, inside the text
+    s1, e1 = got[1]
+    s2, e2 = got[2]
+    assert 2 <= s1 <= e1 <= 2 + 40 - 1
+    assert 3 <= s2 <= e2 <= 3 + 40 - 1
+    # identical passage ⇒ identical SAMPLED window set ⇒ spans map to
+    # the same passage-relative offsets in both copies
+    assert (s1 - 2, e1 - 2) == (s2 - 3, e2 - 3)
+
+    # degenerate/identity cases
+    base = sorted(tuple(r) for r in duplicated_substring_spans(df, window=4).collect())
+    assert sorted(tuple(r) for r in duplicated_substring_spans(df, window=4, sample_mod=1).collect()) == base
+    with pytest.raises(ValueError):
+        duplicated_substring_spans(df, window=4, stride=2, sample_mod=2)
