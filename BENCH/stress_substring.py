@@ -56,6 +56,23 @@ def main() -> None:
     if shape == "all-dup":
         # every replica identical: worst-case span volume (the r5 shape)
         text = F.col("text")
+    elif shape == "misaligned":
+        # replica r prefixed with r filler tokens: every duplicated
+        # passage appears at offsets 0..replicas-1 — the shape where
+        # positional stride's congruence requirement bites and
+        # content-defined sampling (sample_mod) does not.
+        # nb: F.sequence(1, r) at r=0 yields a DESCENDING [1,0] (it
+        # auto-steps -1), which silently shifted BOTH replicas by one
+        # token in the first cut of this shape — slice a literal token
+        # array by r instead
+        fillers = F.split(F.lit("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15"), " ")
+        text = F.when(F.col("r") == 0, F.col("text")).otherwise(
+            F.concat(
+                F.concat_ws(" ", F.slice(fillers, F.lit(1), F.col("r"))),
+                F.lit(" "),
+                F.col("text"),
+            )
+        )
     else:
         # "natural": prefix every token with the replica id, so windows
         # never match ACROSS replicas — duplicate structure is the
@@ -79,12 +96,13 @@ def main() -> None:
 
     from bench import timed_best
 
-    def run(stride: int, materialize: str | None):
+    def run(stride: int, materialize: str | None, sample_mod: int | None = None):
         state = {}
 
         def once():
             spans = duplicated_substring_spans(
-                corpus, window=20, stride=stride, materialize=materialize
+                corpus, window=20, stride=stride, materialize=materialize,
+                sample_mod=sample_mod,
             )
             agg = spans.agg(
                 F.count("*").alias("n_spans"),
@@ -103,10 +121,11 @@ def main() -> None:
                 shutil.rmtree(materialize, ignore_errors=True)
 
         best, samples, _clean = timed_best(once, trials=2, max_attempts=4, between=cleanup)
-        if stride == 1 and materialize is None:
+        if stride == 1 and materialize is None and sample_mod is None:
             coverage_ref["cov"] = state["coverage"]
         rec = {
             "stride": stride,
+            "sample_mod": sample_mod,
             "materialize": materialize or "none",
             "wall_s": best,
             "trials": samples,
@@ -130,6 +149,11 @@ def main() -> None:
     )
     for s in (2, 4):
         run(s, None)
+    # content-defined sampling at matching expected volumes: on a
+    # misaligned corpus stride recall collapses toward 1/stride while
+    # sample_mod keys on the hash itself and holds
+    for m in (2, 4):
+        run(1, None, sample_mod=m)
     spark.stop()
 
 
