@@ -65,6 +65,11 @@ def main() -> None:
         # auto-steps -1), which silently shifted BOTH replicas by one
         # token in the first cut of this shape — slice a literal token
         # array by r instead
+        if replicas > 16:
+            # F.slice caps at the filler array length, which would make
+            # replicas 16+ position-CONGRUENT copies and silently
+            # inflate measured stride recall (review r6)
+            raise SystemExit("misaligned shape supports at most 16 replicas")
         fillers = F.split(F.lit("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15"), " ")
         text = F.when(F.col("r") == 0, F.col("text")).otherwise(
             F.concat(

@@ -483,7 +483,9 @@ def duplicated_substring_spans(
     L-token duplicated passage (→1 fast for passages ≫ m windows, at
     ANY offset).  Span boundaries become approximate: flagged sampled
     positions merge into one span when gapped ≤ 4·m windows (sampled
-    gaps are geometric with mean m).  Mutually exclusive with
+    gaps are geometric with mean m), and ``n_windows`` counts only the
+    SAMPLED (≈1/m) windows — a density computed as n_windows/span_len
+    undercounts by ~m under sampling.  Mutually exclusive with
     ``stride`` (positional vs content-defined sampling).
 
     Returns (id_col, span_start, span_end, n_windows): token offsets,
@@ -497,6 +499,11 @@ def duplicated_substring_spans(
     frame = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(Window.currentRow, window - 1)
     )
+    if stride < 1:
+        # review r6: stride=0 used to filter everything via NULL `pos % 0`;
+        # after the predicate refactor it would instead make every grp
+        # NULL (pos/0) and emit one garbage mega-span per doc
+        raise ValueError(f"stride must be >= 1, got {stride}")
     if sample_mod is not None and stride > 1:
         raise ValueError("stride and sample_mod are alternative sampling schemes — set one")
     keep = F.size("win") == window
