@@ -396,6 +396,38 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     for _ in range(3):
         _probe_rates()
 
+    # cross-run reference: a run that sits ENTIRELY inside a burst has
+    # no quiet probe of its own to compare against (rolling maxima are
+    # depressed together), so maxima persist across runs — the
+    # run-level retry loop uses probe_health to detect an all-dirty
+    # run and try again, and the artifact records the health either
+    # way.  The reference decays 2% per run so a genuinely slower
+    # machine re-calibrates instead of flagging forever.
+    ref_path = os.path.join(tempfile.gettempdir(), "spark_graft_probe_ref.json")
+    try:
+        with open(ref_path) as f:
+            ref = json.load(f)
+    except (OSError, ValueError):
+        ref = {}
+
+    def _finish_probe_health() -> float:
+        m_md5, m_mem = max(_md5_hist), max(_mem_hist)
+        health = min(
+            m_md5 / max(ref.get("md5", m_md5), 1e-9),
+            m_mem / max(ref.get("mem", m_mem), 1e-9),
+            1.0,
+        )
+        new_ref = {
+            "md5": max(ref.get("md5", 0.0) * 0.98, m_md5),
+            "mem": max(ref.get("mem", 0.0) * 0.98, m_mem),
+        }
+        try:
+            with open(ref_path, "w") as f:
+                json.dump(new_ref, f)
+        except OSError:  # pragma: no cover
+            pass
+        return round(health, 3)
+
     def best_rate(fn, reps: int, groups: int = 6) -> float:
         # peak single-core capability: best of `groups` CLEAN timed
         # groups.  One ambient scheduling blip must not masquerade as a
@@ -447,6 +479,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     pb = encode_png(scan, filter_types=1)
     decode_png(pb)
     extras["kernel_png_decode_per_sec_core"] = best_rate(lambda: decode_png(pb), 5)
+    # machine-relative cleanliness of THIS run's best probe windows vs
+    # the persisted cross-run reference (1.0 = as quiet as the machine
+    # has recently been; bursts can run hours without showing as steal)
+    extras["probe_health"] = _finish_probe_health()
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -485,17 +521,27 @@ def main() -> None:
         result = run_bench(sf_dir, cpus)
         attempts.append(result)
         steal = result.get("host_steal_pct")
-        if steal is not None and steal <= STEAL_THRESHOLD_PCT:
+        health = result.get("probe_health", 1.0)
+        if steal is not None and steal <= STEAL_THRESHOLD_PCT and health >= 0.85:
             break
         if i < MAX_ATTEMPTS - 1:
             print(
-                f"# host steal {steal}% > {STEAL_THRESHOLD_PCT}% — retrying",
+                f"# dirty window (steal {steal}%, probe_health {health}) — retrying",
                 file=sys.stderr,
             )
             time.sleep(RETRY_SLEEP_SEC)  # let the ambient burst pass
-    # report the cleanest sample; keep every attempt's steal on record
-    best = min(attempts, key=lambda r: (r.get("host_steal_pct") is None, r.get("host_steal_pct") or 0.0))
+    # report the cleanest sample (highest probe health, then lowest
+    # steal); keep every attempt's markers on record
+    best = min(
+        attempts,
+        key=lambda r: (
+            -(r.get("probe_health") or 0.0),
+            r.get("host_steal_pct") is None,
+            r.get("host_steal_pct") or 0.0,
+        ),
+    )
     best["steal_attempts_pct"] = [r.get("host_steal_pct") for r in attempts]
+    best["probe_health_attempts"] = [r.get("probe_health") for r in attempts]
     print(json.dumps(best))
 
 
