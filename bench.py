@@ -403,10 +403,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # run and try again, and the artifact records the health either
     # way.  The reference decays 2% per run so a genuinely slower
     # machine re-calibrates instead of flagging forever.
-    ref_path = os.path.join(tempfile.gettempdir(), "spark_graft_probe_ref.json")
+    # review r7: the reference lives in the repo's BENCH dir (gitignored),
+    # not a world-writable tempdir path another user/process could skew;
+    # entries are schema-checked and expire after 7 days so a stale file
+    # from a different machine image can't depress/inflate probe_health.
+    ref_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    ref_path = os.path.join(ref_dir, ".probe_ref.json")
     try:
         with open(ref_path) as f:
             ref = json.load(f)
+        if not (
+            isinstance(ref, dict)
+            and isinstance(ref.get("md5"), (int, float))
+            and isinstance(ref.get("mem"), (int, float))
+            and time.time() - float(ref.get("ts", 0)) < 7 * 86400
+        ):
+            ref = {}
     except (OSError, ValueError):
         ref = {}
 
@@ -420,8 +432,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         new_ref = {
             "md5": max(ref.get("md5", 0.0) * 0.98, m_md5),
             "mem": max(ref.get("mem", 0.0) * 0.98, m_mem),
+            "ts": time.time(),
         }
         try:
+            os.makedirs(ref_dir, exist_ok=True)
             with open(ref_path, "w") as f:
                 json.dump(new_ref, f)
         except OSError:  # pragma: no cover

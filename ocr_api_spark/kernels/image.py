@@ -101,7 +101,11 @@ def _task_engine_pin() -> str | None:
             prop = tc.getLocalProperty(ENGINE_PROP)
             if prop:
                 return prop
-    except Exception:  # pragma: no cover - pyspark absent in pure-kernel use
+    except ImportError:  # pragma: no cover - pyspark absent in pure-kernel use
+        # review r7: ONLY the pyspark-absent case is recoverable here.
+        # A runtime error from TaskContext/getLocalProperty must
+        # propagate loudly — swallowing it would drop the driver stamp
+        # and reopen the mixed-engine divergence the property closes.
         pass
     if os.environ.get("OCR_API_SPARK_DISABLE_CV2"):
         return "numpy"
@@ -164,7 +168,20 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     # replications back through here): with r=g=b the weights sum to
     # exactly 2^14, so (v*16384 + 8192) >> 14 == v — the fixed-point
     # result IS the channel, bit-exactly (pinned by test)
-    if np.array_equal(r, g) and np.array_equal(g, b):
+    # cheap strided pre-check first (review r7): genuinely colored
+    # frames bail after ~n/4096 comparisons instead of paying two full
+    # O(n) scans that are guaranteed to fail; replicated-gray frames
+    # (gray_to_bgr outputs fed back through the pre-OCR chain) pass it
+    # and then confirm with the exact full check
+    rs = r.reshape(-1)[::4096]
+    gs = g.reshape(-1)[::4096]
+    bs = b.reshape(-1)[::4096]
+    if (
+        np.array_equal(rs, gs)
+        and np.array_equal(gs, bs)
+        and np.array_equal(r, g)
+        and np.array_equal(g, b)
+    ):
         return r.astype(np.uint8)
     half = 1 << (_YUV_SHIFT - 1)
     return (

@@ -504,6 +504,11 @@ def duplicated_substring_spans(
         # after the predicate refactor it would instead make every grp
         # NULL (pos/0) and emit one garbage mega-span per doc
         raise ValueError(f"stride must be >= 1, got {stride}")
+    if sample_mod is not None and sample_mod < 1:
+        # review r7: mirror the stride check — sample_mod=0/negative
+        # used to fall through every `sample_mod > 1` guard and behave
+        # as exact (no sampling), silently masking a caller bug
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
     if sample_mod is not None and stride > 1:
         raise ValueError("stride and sample_mod are alternative sampling schemes — set one")
     keep = F.size("win") == window

@@ -733,3 +733,9 @@ def test_duplicated_substring_spans_sample_mod_alignment_robust(session):
     assert sorted(tuple(r) for r in duplicated_substring_spans(df, window=4, sample_mod=1).collect()) == base
     with pytest.raises(ValueError):
         duplicated_substring_spans(df, window=4, stride=2, sample_mod=2)
+    # sample_mod validation mirrors stride (review r7): 0/negative used
+    # to silently behave as exact — must fail loudly instead
+    with pytest.raises(ValueError, match="sample_mod"):
+        duplicated_substring_spans(df, window=4, sample_mod=0)
+    with pytest.raises(ValueError, match="sample_mod"):
+        duplicated_substring_spans(df, window=4, sample_mod=-3)

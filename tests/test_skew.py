@@ -95,6 +95,18 @@ def test_pipeline_adaptive_salt_cold_hosts_stay_zero(session, tmp_path):
     assert cold_salts == {0}
 
 
+def _spark_major() -> int:
+    import pyspark
+
+    return int(pyspark.__version__.split(".")[0])
+
+
+@pytest.mark.skipif(
+    _spark_major() != 4,
+    reason="asserts Spark 4.x executed-plan strings ('skew=true', "
+    "'AQEShuffleRead skewed'); re-pin the substrings after an upgrade — "
+    "skew splitting itself is version-independent (review r7)",
+)
 def test_lsh_band_join_aqe_skew_split(session):
     """r5 verdict #5: a pathologically hot band bucket (under any cap,
     or uncapped) must be handled by AQE skew-join splitting, not one
