@@ -62,6 +62,23 @@ builder = (
     .config("spark.ui.enabled", "false")
     .config("spark.submit.pyFiles", pyzip)
 )
+# r7 A/B knobs for the executor-JVM-CPU attribution (judge task #2):
+# on /dev/shm there is no disk or network to save, so shuffle lz4 is
+# pure JVM CPU; netty io threads default to a pool sized per
+# transport even on 1-core executors.
+if os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "1") == "0":
+    builder = (
+        builder.config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.broadcast.compress", "false")
+    )
+_netty = os.environ.get("SPARK_GRAFT_NETTY_THREADS")
+if _netty:
+    builder = (
+        builder.config("spark.shuffle.io.serverThreads", _netty)
+        .config("spark.shuffle.io.clientThreads", _netty)
+        .config("spark.rpc.io.threads", _netty)
+    )
 if os.environ.get("SPARK_GRAFT_APC", "1") == "1":
     # Cluster-faithful JVM sizing: every executor JVM on this ONE box
     # sees the host's 32 CPUs and ergonomically sizes its GC workers,
@@ -180,7 +197,7 @@ def main() -> None:
         raise SystemExit(f"run BENCH/scaling.py once first to build {big}")
 
     n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-    trials: dict[int, list[float]] = {levels[0][0]: [], levels[1][0]: []}
+    records: dict[int, list[dict]] = {levels[0][0]: [], levels[1][0]: []}
     rows = None
 
     def probe_16p() -> float:
@@ -204,7 +221,9 @@ def main() -> None:
     # taken inside a burst would anchor the gate low and wave every
     # dirty window through (review r6)
     probe_best = max(probe_16p() for _ in range(3))
-    for _ in range(n_trials):
+
+    def gate() -> float:
+        nonlocal probe_best
         probe_ratio = 0.0
         for attempt in range(10):
             pr = probe_16p()
@@ -215,33 +234,81 @@ def main() -> None:
             print(f"# ambient burst: probe {pr/1e6:.1f}M/s < 85% of best "
                   f"{probe_best/1e6:.1f}M/s — waiting", file=sys.stderr)
             _time.sleep(60)
-        for n_exec, c, mem in levels:
-            out = subprocess.run(
-                [sys.executable, "-c", WORKER, str(n_exec), str(c), str(mem),
-                 f"{big}/pages.parquet", f"{big}/claims.parquet", pyzip],
-                capture_output=True,
-                text=True,
-                env=env,
-            )
-            if out.returncode != 0:
-                # a lost executor during an ambient burst kills one
-                # trial — drop it, keep the session (median over the
-                # surviving trials; the probe gate bounds how dirty
-                # those can be)
-                tail = [l for l in out.stderr.splitlines() if "Stage" not in l][-5:]
-                print(f"# trial FAILED (n_exec={n_exec}): {' | '.join(tail)}",
-                      file=sys.stderr)
-                continue
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            # the probe ratio rides on the record: a pair that started
-            # after the gate EXHAUSTED its retries (>10 min burst) is
-            # identifiable in the artifact, not silently blended in
-            r["probe_ratio"] = probe_ratio
-            print(json.dumps(r))
-            trials[n_exec].append(r["docs_per_sec"])
-            rows = r["rows"]
+        return probe_ratio
 
-    def median(xs):
+    def run_level(n_exec: int, c: int, mem: int, probe_ratio: float) -> dict | None:
+        nonlocal rows
+        out = subprocess.run(
+            [sys.executable, "-c", WORKER, str(n_exec), str(c), str(mem),
+             f"{big}/pages.parquet", f"{big}/claims.parquet", pyzip],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        if out.returncode != 0:
+            # a lost executor during an ambient burst kills one
+            # trial — drop it, keep the session (median over the
+            # surviving trials; the probe gate bounds how dirty
+            # those can be)
+            tail = [l for l in out.stderr.splitlines() if "Stage" not in l][-5:]
+            print(f"# trial FAILED (n_exec={n_exec}): {' | '.join(tail)}",
+                  file=sys.stderr)
+            return None
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        # the probe ratio rides on the record: a pair that started
+        # after the gate EXHAUSTED its retries (>10 min burst) is
+        # identifiable in the artifact, not silently blended in
+        r["probe_ratio"] = probe_ratio
+        # per-trial dirtiness marker (r6 lesson): the START-gated probe
+        # misses bursts that begin mid-trial, but python task CPU per
+        # row is FLAT across levels in clean windows — its inflation vs
+        # the session minimum is the reliable post-hoc signal
+        r["py_cpu_per_krow"] = round(1000.0 * r["python_cpu_s"] / max(r["rows"], 1), 3)
+        print(json.dumps(r))
+        records[n_exec].append(r)
+        rows = r["rows"]
+        return r
+
+    for _ in range(n_trials):
+        probe_ratio = gate()
+        for n_exec, c, mem in levels:
+            run_level(n_exec, c, mem, probe_ratio)
+
+    # post-hoc dirtiness retry (r7, judge task #1): flag any trial whose
+    # python CPU/row exceeds 1.3x the session minimum — a burst that
+    # started AFTER the gate probe — and re-run that level (bounded
+    # budget).  Flags stay on the records either way; the median is
+    # taken over clean trials when any exist.
+    def mark_dirty() -> list[tuple[int, int, int]]:
+        all_ppr = [r["py_cpu_per_krow"] for rs in records.values() for r in rs]
+        if not all_ppr:
+            return []
+        floor = min(all_ppr)
+        dirty_levels = []
+        for (n_exec, c, mem) in levels:
+            for r in records[n_exec]:
+                r["py_dirty"] = r["py_cpu_per_krow"] > 1.3 * floor
+            if records[n_exec] and all(r["py_dirty"] for r in records[n_exec]):
+                dirty_levels.append((n_exec, c, mem))
+        return dirty_levels
+
+    retry_budget = int(os.environ.get("SPARK_GRAFT_DIRTY_RETRIES", "3"))
+    while retry_budget > 0:
+        need = mark_dirty()
+        if not need:
+            break
+        for n_exec, c, mem in need:
+            if retry_budget <= 0:
+                break
+            print(f"# all trials of n_exec={n_exec} py-dirty "
+                  f"(pyCPU/row >1.3x session min) — retrying", file=sys.stderr)
+            run_level(n_exec, c, mem, gate())
+            retry_budget -= 1
+    mark_dirty()
+
+    def median(rs):
+        clean = [r["docs_per_sec"] for r in rs if not r.get("py_dirty")]
+        xs = clean or [r["docs_per_sec"] for r in rs]
         if not xs:
             raise SystemExit("every trial of one level failed — re-run")
         xs = sorted(xs)
@@ -249,7 +316,7 @@ def main() -> None:
         return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
 
     (n_lo, c_lo, _), (n_hi, c_hi, _) = levels
-    t_lo, t_hi = median(trials[n_lo]), median(trials[n_hi])
+    t_lo, t_hi = median(records[n_lo]), median(records[n_hi])
     print(
         json.dumps(
             {
@@ -260,8 +327,12 @@ def main() -> None:
                 "cores_each": c_lo,
                 "n_docs_per_sec_median": t_lo,
                 "4n_docs_per_sec_median": t_hi,
-                "all_n": trials[n_lo],
-                "all_4n": trials[n_hi],
+                "all_n": [r["docs_per_sec"] for r in records[n_lo]],
+                "all_4n": [r["docs_per_sec"] for r in records[n_hi]],
+                "py_dirty_n": [bool(r.get("py_dirty")) for r in records[n_lo]],
+                "py_dirty_4n": [bool(r.get("py_dirty")) for r in records[n_hi]],
+                "shuffle_compress": os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "1"),
+                "netty_threads": os.environ.get("SPARK_GRAFT_NETTY_THREADS") or "default",
                 "scaling_efficiency_n_to_4n": round(t_hi / (4 * t_lo), 3),
             }
         )

@@ -978,6 +978,83 @@ def _doc_substring_dedup(spark, sf_dir):
     )
 
 
+def _doc_winnow_substring(spark, sf_dir):
+    """Winnowed substring dedup (Schleimer et al. 2003 MOSS selection
+    over the Lee-et-al rolling-window pipeline): identical corpus and
+    seeding as doc_substring_dedup — each base doc's OWN token count
+    offsets its seeded copy of the shared 40-token passage, so the 30
+    copies sit at 30 different alignments and only a content-defined
+    selector can pair them — but only ~2/(w+1) of the window hashes
+    (the per-winnow-window minima) reach the corpus-wide count.  The
+    deterministic guarantee fires at this shape: 40 >= 20 + 8 - 1."""
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 200)
+    variants = base.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _SUBSTR_PASSAGE)).alias("text"),
+    )
+    spans = duplicated_substring_spans(base.unionByName(variants), window=20, winnow=8)
+    return spans.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "span_start",
+        "span_end",
+        "n_windows",
+    )
+
+
+_DOC_WINNOW_SUBSTR_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 2000 AS doc_id, text || ' {_SUBSTR_PASSAGE}' AS text
+  FROM documents WHERE doc_id < 30
+),
+pos AS (
+  SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+19], ' ')) AS whash
+  FROM pos WHERE i + 19 <= len(words)
+),
+keyed AS (
+  SELECT doc_id, pos, whash || lpad(pos::VARCHAR, 10, '0') AS k FROM wins
+),
+argmins AS (
+  SELECT doc_id, pos,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS selkey
+  FROM keyed
+),
+runs AS (
+  SELECT doc_id, selkey,
+         lag(selkey) OVER (PARTITION BY doc_id ORDER BY pos) AS prevkey
+  FROM argmins
+),
+sel AS (
+  SELECT doc_id, substr(selkey, 33, 10)::INT AS pos, substr(selkey, 1, 32) AS whash
+  FROM runs WHERE prevkey IS NULL OR selkey <> prevkey
+),
+counts AS (SELECT whash FROM sel GROUP BY whash HAVING count(*) >= 2),
+flagged AS (SELECT s.doc_id, s.pos FROM sel s JOIN counts c USING (whash)),
+gapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 16
+              THEN 1 ELSE 0 END AS new_grp
+  FROM flagged
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(new_grp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM gapped
+)
+SELECT doc_id::BIGINT AS doc_id, min(pos)::INT AS span_start,
+       (max(pos) + 19)::INT AS span_end, count(*)::BIGINT AS n_windows
+FROM islands GROUP BY doc_id, grp
+"""
+
+
 _DOC_SUBSTRING_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
@@ -2502,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": _doc_dedup_clusters,
         "doc_repeated_paragraphs": _doc_repeated_paragraphs,
         "doc_substring_dedup": _doc_substring_dedup,
+        "doc_winnow_substring": _doc_winnow_substring,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_pq_codes": _emb_pq_codes,
         "sketch_hll_registers": _sketch_hll_registers,
@@ -2575,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_clusters": _DOC_CLUSTERS_SQL,
         "doc_repeated_paragraphs": _DOC_REPEATED_PARAS_SQL,
         "doc_substring_dedup": _DOC_SUBSTRING_SQL,
+        "doc_winnow_substring": _DOC_WINNOW_SUBSTR_SQL,
         "doc_spans": _DOC_SPANS_SQL,
         "emb_cosine_topk": _emb_cosine_topk_sql(),
         "emb_pq_codes": _emb_pq_codes_sql(),

@@ -429,6 +429,7 @@ def duplicated_substring_spans(
     stride: int = 1,
     materialize: str | None = None,
     sample_mod: int | None = None,
+    winnow: int | None = None,
 ) -> DataFrame:
     """Exact substring dedup (Lee et al. 2021, "Deduplicating Training
     Data Makes Language Models Better"): flag every maximal token span
@@ -488,6 +489,25 @@ def duplicated_substring_spans(
     undercounts by ~m under sampling.  Mutually exclusive with
     ``stride`` (positional vs content-defined sampling).
 
+    ``winnow`` = w is true MOSS winnowing (Schleimer et al. 2003,
+    r6-verdict task): over each run of w consecutive window hashes,
+    keep the (hash, pos)-minimal one.  Selection density ≈ 2/(w+1),
+    but unlike ``sample_mod``'s geometric recall the guarantee is
+    DETERMINISTIC: every w consecutive hashes contain a selection, so
+    any duplicated passage of ≥ ``window`` + w − 1 tokens (≥ w shared
+    window hashes ⇒ one full winnow-window of shared context) shares
+    at least one fingerprint across copies, at any alignment.  The
+    argmin is the minimum of ``whash || lpad(pos)`` (md5 is fixed
+    32-hex, zero-padded pos breaks same-text-same-doc ties
+    deterministically — both engines order identically); because the
+    sliding argmin is non-decreasing in pos, consecutive duplicate
+    selections collapse via one ``lag`` on the SAME doc-keyed
+    sort — three window passes, still a single shuffle, no distinct.
+    Islands merge flagged selections gapped ≤ 2·w (selections are ≤ w
+    apart inside a duplicated region); ``n_windows`` counts SELECTED
+    windows (≈ 2/(w+1) of positions).  Mutually exclusive with both
+    other knobs.
+
     Returns (id_col, span_start, span_end, n_windows): token offsets,
     0-based, ``span_end`` inclusive of the last token of the last
     flagged window."""
@@ -509,8 +529,12 @@ def duplicated_substring_spans(
         # used to fall through every `sample_mod > 1` guard and behave
         # as exact (no sampling), silently masking a caller bug
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
-    if sample_mod is not None and stride > 1:
-        raise ValueError("stride and sample_mod are alternative sampling schemes — set one")
+    if winnow is not None and winnow < 1:
+        raise ValueError(f"winnow must be >= 1, got {winnow}")
+    if sum([stride > 1, sample_mod is not None and sample_mod > 1, winnow is not None]) > 1:
+        raise ValueError(
+            "stride, sample_mod and winnow are alternative sampling schemes — set one"
+        )
     keep = F.size("win") == window
     if stride > 1:
         # only strided starts survive; at stride=1 the predicate is
@@ -529,6 +553,25 @@ def duplicated_substring_spans(
         wins = wins.where(
             F.conv(F.substring("whash", 1, 8), 16, 10).cast("bigint") % sample_mod == 0
         )
+    if winnow is not None and winnow > 1:
+        # MOSS min-selection: per winnow-window argmin via the minimal
+        # composite key (same doc-partitioned sort as the hash window —
+        # no new shuffle), then collapse the non-decreasing argmin runs
+        # with one lag.  Tail windows truncate (< w hashes) — their
+        # boundary selections are deterministic and identical across
+        # copies of a shared TAIL, harmless elsewhere.
+        w_order = Window.partitionBy(id_col).orderBy("pos")
+        fwd = w_order.rowsBetween(Window.currentRow, winnow - 1)
+        key = F.concat("whash", F.lpad(F.col("pos").cast("string"), 10, "0"))
+        sel = wins.withColumn("selkey", F.min(key).over(fwd))
+        sel = sel.withColumn("prevkey", F.lag("selkey").over(w_order)).where(
+            F.col("prevkey").isNull() | (F.col("selkey") != F.col("prevkey"))
+        )
+        wins = sel.select(
+            id_col,
+            F.substring("selkey", 33, 10).cast("int").alias("pos"),
+            F.substring("selkey", 1, 32).alias("whash"),
+        )
     if materialize == "cache":
         wins = wins.persist()
     elif materialize:
@@ -541,11 +584,12 @@ def duplicated_substring_spans(
     )
     flagged = wins.join(counts, "whash").select(id_col, "pos")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
-    if sample_mod is not None and sample_mod > 1:
-        # sampled positions sit ~m apart (geometric); consecutive
-        # flagged samples within 4·m tokens belong to one duplicated
-        # region — islands via gap-threshold cumulative grouping
-        tol = 4 * sample_mod
+    if (sample_mod is not None and sample_mod > 1) or (winnow is not None and winnow > 1):
+        # sampled positions sit ~m apart (geometric) / selections ≤ w
+        # apart (winnowing guarantee); consecutive flagged samples
+        # within the tolerance belong to one duplicated region —
+        # islands via gap-threshold cumulative grouping
+        tol = 4 * sample_mod if (sample_mod is not None and sample_mod > 1) else 2 * winnow
         islands = flagged.withColumn(
             "new_grp",
             F.when(F.col("pos") - F.lag("pos").over(w_doc) > tol, 1).otherwise(0),

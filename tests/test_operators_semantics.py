@@ -739,3 +739,58 @@ def test_duplicated_substring_spans_sample_mod_alignment_robust(session):
         duplicated_substring_spans(df, window=4, sample_mod=0)
     with pytest.raises(ValueError, match="sample_mod"):
         duplicated_substring_spans(df, window=4, sample_mod=-3)
+
+
+def test_duplicated_substring_spans_winnow(session):
+    """True MOSS winnowing (r6-verdict task): deterministic guarantee —
+    every ``winnow`` consecutive window hashes contain a selection, so
+    a duplicated passage of >= window + winnow - 1 tokens is detected
+    at ANY alignment (no congruence condition, no geometric tail)."""
+    import pytest
+
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    passage = " ".join(f"p{i}" for i in range(40))
+    rows = [
+        (1, f"a0 a1 {passage} z0 z1 z2"),
+        (2, f"b0 b1 b2 {passage}"),  # misaligned: offsets 2 vs 3
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+
+    spans_by_doc: dict[int, list] = {}
+    n_by_doc: dict[int, int] = {}
+    for r in duplicated_substring_spans(df, window=4, winnow=5).collect():
+        spans_by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+        n_by_doc[r["doc_id"]] = n_by_doc.get(r["doc_id"], 0) + r["n_windows"]
+    assert set(spans_by_doc) == {1, 2}
+    s1, s2 = sorted(spans_by_doc[1]), sorted(spans_by_doc[2])
+    # spans stay inside each copy's passage region
+    assert all(2 <= a <= b <= 2 + 40 - 1 for a, b in s1)
+    assert all(3 <= a <= b <= 3 + 40 - 1 for a, b in s2)
+    # content-defined selection: the interior fingerprint sets agree, so
+    # the span lists map to the same passage-relative offsets
+    assert [(a - 2, b - 2) for a, b in s1] == [(a - 3, b - 3) for a, b in s2]
+    # density ~2/(w+1): far fewer than the 37 exact windows, more than 1
+    assert 2 <= n_by_doc[1] <= 20 and n_by_doc[1] == n_by_doc[2]
+
+    # guarantee at the THRESHOLD length: passage of exactly
+    # window + winnow - 1 tokens (= winnow shared hashes) must be found
+    short = " ".join(f"q{i}" for i in range(4 + 5 - 1))
+    dfs = session.createDataFrame(
+        [(10, f"x0 {short}"), (11, f"y0 y1 y2 y3 y4 {short} y5")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in duplicated_substring_spans(dfs, window=4, winnow=5).collect()}
+    assert got == {10, 11}
+
+    # identity + validation
+    base = sorted(tuple(r) for r in duplicated_substring_spans(df, window=4).collect())
+    w1 = sorted(tuple(r) for r in duplicated_substring_spans(df, window=4, winnow=1).collect())
+    assert w1 == base
+    with pytest.raises(ValueError, match="winnow"):
+        duplicated_substring_spans(df, window=4, winnow=0)
+    with pytest.raises(ValueError, match="alternative sampling"):
+        duplicated_substring_spans(df, window=4, winnow=3, sample_mod=2)
+    with pytest.raises(ValueError, match="alternative sampling"):
+        duplicated_substring_spans(df, window=4, winnow=3, stride=2)

@@ -192,6 +192,37 @@ def test_substring_dedup_no_python_no_cartesian(session):
     assert "Window" in plan  # the rolling-window frame
 
 
+def test_substring_dedup_winnow_single_doc_shuffle(session):
+    """Winnow mode adds two window passes (argmin + lag) over the SAME
+    doc-keyed sort as the hash window — it must not introduce a Python
+    stage, a cartesian, or an extra doc-keyed exchange: exactly one
+    hashpartitioning on the doc column feeds all three Window nodes
+    (the only other exchanges key on whash for the corpus count and the
+    join back)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    docs = (
+        session.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    plan = explain_str(duplicated_substring_spans(docs, window=8, winnow=4))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # same doc-keyed exchange count as the exact operator: the argmin +
+    # lag passes ride the hash window's existing sort (each lazy
+    # recompute side + the islands merge carries one — the materialize
+    # knob collapses the recompute, unchanged by winnow)
+    base_plan = explain_str(duplicated_substring_spans(docs, window=8))
+    n_doc_ex = len(re.findall(r"hashpartitioning\(doc_id", plan))
+    n_doc_ex_base = len(re.findall(r"hashpartitioning\(doc_id", base_plan))
+    assert n_doc_ex == n_doc_ex_base, (n_doc_ex, n_doc_ex_base, plan)
+
+
 def test_customer_activity_keeps_both_join_shapes(session):
     """The round-5 merged row must still EXECUTE a semi join and an
     anti join — folding the queries must not have degraded either to a
