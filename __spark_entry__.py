@@ -1003,6 +1003,129 @@ def _doc_winnow_substring(spark, sf_dir):
     )
 
 
+def _stream_mask_regions(spark, sf_dir):
+    """Streaming Aadhaar masking driver row (r6-verdict task): a REAL
+    structured stream — parquet source → Arrow-batched mapInPandas
+    masking (streaming/stream.py masking_stream) → memory sink,
+    availableNow trigger — over a deterministic synthetic OCR token
+    table derived from doc_id by pure integer arithmetic, so the DuckDB
+    oracle reproduces the mask geometry exactly in SQL.  The token mix
+    exercises every reference gate (app.py:5731-5780 semantics):
+    O→0 repair (tok0's digits are O-substituted), the >100/<10 box
+    height skips (tok2/tok3), x-clip to image width before the 8/12ths
+    char-width mask (img_w chosen so tok0 clips for most docs), and the
+    stop-after-two-matches rule (tok5 is a valid third Aadhaar that
+    must NOT be masked)."""
+    import tempfile
+    import uuid
+
+    from ocr_api_spark.streaming.stream import MASK_REGION_SCHEMA, masking_stream
+
+    d = F.col("doc_id")
+
+    def aad(salt: int):
+        num = (d * 7919 + F.lit(salt)) % F.lit(899999999999) + F.lit(100000000000)
+        s = F.lpad(num.cast("string"), 12, "0")
+        return F.concat(
+            s.substr(1, 4), F.lit(" "), s.substr(5, 4), F.lit(" "), s.substr(9, 4)
+        )
+
+    def box(x0, y0, wdt, h):
+        x0 = x0.cast("int") if hasattr(x0, "cast") else F.lit(x0).cast("int")
+        y0 = F.lit(y0).cast("int")
+        x1 = (x0 + wdt).cast("int")
+        y1 = (y0 + h).cast("int")
+        return F.array(
+            F.array(x0, y0), F.array(x1, y0), F.array(x1, y1), F.array(x0, y1)
+        )
+
+    def tok(text, bx):
+        return F.struct(
+            text.alias("text"), F.lit(0.9).alias("conf"), bx.alias("box")
+        )
+
+    synth = (
+        _t(spark, sf_dir, "documents")
+        .where(d < 40)
+        .select(
+            "doc_id",
+            F.lit(600).cast("int").alias("img_h"),
+            (200 + d % 50).cast("int").alias("img_w"),
+            F.array(
+                # tok0: valid Aadhaar, digits O-substituted (repair path),
+                # width 240+d%13 overflows img_w for most docs (x-clip)
+                tok(F.concat(F.lit("ID "), F.translate(aad(1), "0", "O")),
+                    box(10 + d % 7, 50, 240 + d % 13, 20 + d % 80)),
+                # tok1: no digits — regex miss
+                tok(F.lit("Name: ACME PERSON"), box(F.lit(5), 20, 80, 14)),
+                # tok2: valid digits, box too tall (>100) — skipped
+                tok(aad(1), box(F.lit(12), 200, 300, 150)),
+                # tok3: valid digits, box too short (<10) — skipped
+                tok(aad(1), box(F.lit(12), 370, 300, 5)),
+                # tok4: second valid Aadhaar — masked, then matching stops
+                tok(aad(2), box(30 + d % 11, 400, 360 + d % 17, 40 + d % 50)),
+                # tok5: a THIRD valid Aadhaar — must be ignored
+                tok(aad(3), box(F.lit(40), 500, 300, 30)),
+            ).alias("tokens"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="mask_stream_src_")
+    synth.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream_src = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .load(src_dir)
+    )
+    name = "mask_regions_" + uuid.uuid4().hex[:12]
+    q = (
+        masking_stream(stream_src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("region_idx").cast("int").alias("region_idx"),
+        F.col("x_min").cast("int").alias("x_min"),
+        F.col("y_min").cast("int").alias("y_min"),
+        F.col("x_max").cast("int").alias("x_max"),
+        F.col("y_max").cast("int").alias("y_max"),
+    )
+    # the memory sink table is session-lived; snapshot it so the driver
+    # can collect after further queries run
+    out = spark.createDataFrame(got.collect(), schema=got.schema)
+    return out if out.columns else got
+
+
+_STREAM_MASK_SQL = """
+WITH docs AS (SELECT doc_id::BIGINT AS d FROM documents WHERE doc_id < 40),
+geom AS (
+  SELECT d, 200 + d % 50 AS img_w,
+         10 + d % 7  AS x0_a, 50  AS y0_a, 240 + d % 13 AS w_a, 20 + d % 80 AS h_a,
+         30 + d % 11 AS x0_b, 400 AS y0_b, 360 + d % 17 AS w_b, 40 + d % 50 AS h_b
+  FROM docs
+),
+r0 AS (
+  SELECT d, 0 AS region_idx, x0_a AS x_min, y0_a AS y_min,
+         x0_a + ((least(img_w, x0_a + w_a) - x0_a) // 12) * 8 AS x_max,
+         y0_a + h_a AS y_max
+  FROM geom
+),
+r1 AS (
+  SELECT d, 1 AS region_idx, x0_b AS x_min, y0_b AS y_min,
+         x0_b + ((least(img_w, x0_b + w_b) - x0_b) // 12) * 8 AS x_max,
+         y0_b + h_b AS y_max
+  FROM geom
+)
+SELECT d::BIGINT AS doc_id, region_idx::INT AS region_idx, x_min::INT AS x_min,
+       y_min::INT AS y_min, x_max::INT AS x_max, y_max::INT AS y_max
+FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+"""
+
+
 _DOC_WINNOW_SUBSTR_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
@@ -2580,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repeated_paragraphs": _doc_repeated_paragraphs,
         "doc_substring_dedup": _doc_substring_dedup,
         "doc_winnow_substring": _doc_winnow_substring,
+        "stream_mask_regions": _stream_mask_regions,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_pq_codes": _emb_pq_codes,
         "sketch_hll_registers": _sketch_hll_registers,
@@ -2654,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repeated_paragraphs": _DOC_REPEATED_PARAS_SQL,
         "doc_substring_dedup": _DOC_SUBSTRING_SQL,
         "doc_winnow_substring": _DOC_WINNOW_SUBSTR_SQL,
+        "stream_mask_regions": _STREAM_MASK_SQL,
         "doc_spans": _DOC_SPANS_SQL,
         "emb_cosine_topk": _emb_cosine_topk_sql(),
         "emb_pq_codes": _emb_pq_codes_sql(),

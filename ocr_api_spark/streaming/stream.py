@@ -77,6 +77,52 @@ def dedup_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+MASK_REGION_SCHEMA = "doc_id long, region_idx int, x_min int, y_min int, x_max int, y_max int"
+
+
+def masking_stream(token_pages: DataFrame) -> DataFrame:
+    """Streaming Aadhaar masking (I11 at ingestion time — the
+    mask-on-arrival counterpart of the batch masking branch,
+    app.py:5731-5780 semantics via kernels/masking.py): each arriving
+    row carries a document's OCR token table pre-grouped as an
+    array<struct> column (one row per doc keeps the stream stateless —
+    grouped ``applyInPandas`` is a batch-only API), and one Arrow-
+    batched ``mapInPandas`` stage emits a row per mask rectangle in
+    reference order.  Works identically on batch and streaming frames;
+    no per-row Python UDF, no state, so the only streaming concern is
+    the source/sink pair the caller picks."""
+    import pandas as pd
+
+    from ocr_api_spark.kernels.masking import mask_aadhaar_regions
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "region_idx": [],
+                "x_min": [], "y_min": [], "x_max": [], "y_max": [],
+            }
+            for doc_id, h, w, toks in zip(
+                pdf["doc_id"], pdf["img_h"], pdf["img_w"], pdf["tokens"]
+            ):
+                token_list = [
+                    (t["text"], float(t["conf"]), [list(p) for p in t["box"]])
+                    for t in toks
+                ]
+                for i, r in enumerate(mask_aadhaar_regions(token_list, int(h), int(w))):
+                    out["doc_id"].append(int(doc_id))
+                    out["region_idx"].append(i)
+                    out["x_min"].append(r["x_min"])
+                    out["y_min"].append(r["y_min"])
+                    out["x_max"].append(r["x_max"])
+                    out["y_max"].append(r["y_max"])
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "region_idx": "int32", "x_min": "int32",
+                 "y_min": "int32", "x_max": "int32", "y_max": "int32"}
+            )
+
+    return token_pages.mapInPandas(gen, MASK_REGION_SCHEMA)
+
+
 def extraction_stream_with_claims(pages: DataFrame, claims_static: DataFrame) -> DataFrame:
     """Stream-static join: the pages stream joins the (slowly-changing)
     claims table, then runs the same fused single-crossing stage as the

@@ -282,3 +282,56 @@ def test_stream_dedup_on_arrival(session, synth, tmp_path):
     assert got.count() == n_batch == pages.count()
     # exactly one survivor per fingerprint
     assert got.groupBy("fingerprint").count().where(F.col("count") > 1).count() == 0
+
+
+def test_masking_stream_matches_kernel(session, tmp_path):
+    """masking_stream's Arrow stage must reproduce mask_aadhaar_regions
+    exactly, on a batch frame AND through a real availableNow stream
+    (same plan — Structured Streaming reuses the batch operator)."""
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.kernels.masking import mask_aadhaar_regions
+    from ocr_api_spark.streaming.stream import masking_stream
+
+    def box(x0, y0, x1, y1):
+        return [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+
+    toks = [
+        ("1234 5678 9012", 0.9, box(10, 50, 250, 90)),     # masked
+        ("no digits here", 0.9, box(5, 20, 80, 34)),       # regex miss
+        ("2345 6789 O123", 0.9, box(12, 200, 312, 350)),   # too tall
+        ("3456 7890 1234", 0.9, box(30, 400, 390, 440)),   # masked (2nd)
+        ("4567 8901 2345", 0.9, box(40, 500, 340, 530)),   # stop-after-2
+    ]
+    expected = mask_aadhaar_regions(toks, 600, 230)
+
+    rows = [(7, 600, 230, [{"text": t, "conf": c, "box": b} for t, c, b in toks])]
+    schema = (
+        "doc_id long, img_h int, img_w int, tokens array<struct<"
+        "text string, conf double, box array<array<int>>>>"
+    )
+    df = session.createDataFrame(rows, schema)
+
+    batch = masking_stream(df).orderBy("region_idx").collect()
+    assert [
+        (r["x_min"], r["y_min"], r["x_max"], r["y_max"]) for r in batch
+    ] == [(e["x_min"], e["y_min"], e["x_max"], e["y_max"]) for e in expected]
+    assert len(batch) == 2  # the third valid Aadhaar is NOT masked
+
+    src = str(tmp_path / "mask_src")
+    df.write.parquet(src)
+    stream = (
+        session.readStream.format("parquet")
+        .schema(session.read.parquet(src).schema)
+        .load(src)
+    )
+    q = (
+        masking_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mask_parity_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = session.table("mask_parity_test").orderBy("region_idx").collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
