@@ -260,8 +260,14 @@ def run_extraction(
     n_salts: int = 8,
     repartition: int | None = None,
     dedupe: bool = False,
+    buckets: list[int] | None = None,
 ) -> dict:
-    """Run (or resume) the pipeline.  Returns run statistics."""
+    """Run (or resume) the pipeline.  Returns run statistics.
+
+    ``buckets``: restrict this invocation to the given bucket ids (the
+    url-hash bucket is deterministic, so a filtered run commits exactly
+    those buckets' lineage).  ``run_extraction_chunked`` uses this to
+    bound the blast radius of a mid-flight failure."""
     t0 = time.time()
     from ocr_api_spark.kernels.image import ENGINE_PROP, image_engine
 
@@ -280,6 +286,8 @@ def run_extraction(
 
     done = read_completed_buckets(spark, out_dir)
     pages = with_bucket(pages, n_buckets)
+    if buckets is not None:
+        pages = pages.filter(F.col("bucket").isin([int(b) for b in buckets]))
     if done:
         pages = pages.filter(~F.col("bucket").isin(done))
     pages = pages.drop("bucket")  # extraction_plan re-derives it
@@ -374,3 +382,50 @@ def run_extraction(
         # refused to substitute (see kernels.image._cv2)
         "image_engine": driver_engine,
     }
+
+
+def run_extraction_chunked(
+    spark: SparkSession,
+    pages_path: str,
+    claims_path: str | None,
+    out_dir: str,
+    n_buckets: int = 64,
+    buckets_per_commit: int = 16,
+    **kw,
+) -> dict:
+    """Resume-granular extraction for very long runs: process buckets in
+    groups of ``buckets_per_commit``, each group one Spark job + one
+    lineage/metrics/snapshot commit.  A mid-flight kill (OOM, preempted
+    driver, spot reclaim) loses at most the in-flight group's work; the
+    next invocation reads lineage and continues from the last commit —
+    this is what "resumable at 10^12 documents" means operationally:
+    the unit of redo is a bucket group, not the corpus.  Single-job
+    ``run_extraction`` remains the right call when the whole corpus
+    fits one job's failure domain.
+
+    Group size trades scheduler overhead (one job per group) against
+    redo bound; with bucket = hash(url) % n_buckets the groups are
+    statistically even, and each group's job internally repartitions to
+    full cluster parallelism, so chunking costs extra scans of the
+    (pruned) input, not idle executors."""
+    t0 = time.time()
+    done = set(read_completed_buckets(spark, out_dir))
+    totals = {"rows": 0, "groups_run": 0, "groups_skipped": 0}
+    for start in range(0, n_buckets, buckets_per_commit):
+        group = [
+            b for b in range(start, min(start + buckets_per_commit, n_buckets))
+            if b not in done
+        ]
+        if not group:
+            totals["groups_skipped"] += 1
+            continue
+        stats = run_extraction(
+            spark, pages_path, claims_path, out_dir,
+            n_buckets=n_buckets, buckets=group, **kw,
+        )
+        totals["rows"] += stats["rows"]
+        totals["groups_run"] += 1
+    wall = time.time() - t0
+    totals["wall_s"] = round(wall, 3)
+    totals["docs_per_sec"] = round(totals["rows"] / wall, 2) if wall > 0 else None
+    return totals

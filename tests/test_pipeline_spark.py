@@ -213,3 +213,64 @@ def test_bucket_stats_footer_and_mixed_statuses(tmp_path):
     )
     stats = _bucket_stats(_data_files(str(d)), 1.0)
     assert stats == [(3, 19, 9, 1.0), (7, 7, 0, 1.0)]
+
+
+def test_chunked_run_kill_between_commits_resumes(session, synth, tmp_path, monkeypatch):
+    """run_extraction_chunked commits lineage per bucket group, so a
+    crash between commits loses at most the in-flight group: a re-run
+    completes the rest without re-extracting committed buckets, and the
+    final output equals a clean single-job run byte-for-byte."""
+    from ocr_api_spark.plans import pipeline
+
+    ref_out = str(tmp_path / "ref")
+    pipeline.run_extraction(
+        session, synth["pages"], synth["claims"], ref_out, n_buckets=8, n_salts=4
+    )
+
+    out = str(tmp_path / "chunked")
+    calls = {"n": 0}
+    real = pipeline.run_extraction
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated mid-flight kill")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "run_extraction", dying)
+    with pytest.raises(RuntimeError, match="simulated"):
+        pipeline.run_extraction_chunked(
+            session, synth["pages"], synth["claims"], out,
+            n_buckets=8, buckets_per_commit=2, n_salts=4,
+        )
+    monkeypatch.setattr(pipeline, "run_extraction", real)
+
+    committed = set(pipeline.read_completed_buckets(session, out))
+    assert committed == {0, 1, 2, 3}  # two groups of two committed
+
+    # resume completes only the remaining groups
+    totals = pipeline.run_extraction_chunked(
+        session, synth["pages"], synth["claims"], out,
+        n_buckets=8, buckets_per_commit=2, n_salts=4,
+    )
+    assert totals["groups_skipped"] == 2
+    assert totals["groups_run"] == 2
+
+    got = session.read.parquet(out + "/extracted")
+    ref = session.read.parquet(ref_out + "/extracted")
+    assert got.count() == ref.count() == 300
+    # no url extracted twice, and every text byte-identical to the
+    # single-job reference
+    import pandas as pd
+
+    g = got.select("url", "extracted_text").toPandas().set_index("url")["extracted_text"]
+    r = ref.select("url", "extracted_text").toPandas().set_index("url")["extracted_text"]
+    assert not g.index.duplicated().any()
+    assert g.sort_index().equals(r.sort_index())
+
+    # a further invocation is a no-op (all groups skipped)
+    again = pipeline.run_extraction_chunked(
+        session, synth["pages"], synth["claims"], out,
+        n_buckets=8, buckets_per_commit=2, n_salts=4,
+    )
+    assert again["groups_run"] == 0 and again["rows"] == 0
