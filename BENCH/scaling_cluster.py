@@ -79,6 +79,14 @@ if _netty:
         .config("spark.shuffle.io.clientThreads", _netty)
         .config("spark.rpc.io.threads", _netty)
     )
+if os.environ.get("SPARK_GRAFT_PREBUCKETED", "0") == "1":
+    # compute-heavy UDF stage over a pre-bucketed scan: split by small
+    # byte quanta so the SCAN provides the parallelism the repartition
+    # used to (the r1 trap: parquet splits are compressed-byte-sized,
+    # a 4-task scan starves a 16-core UDF stage)
+    builder = builder.config("spark.sql.files.maxPartitionBytes", "4m").config(
+        "spark.sql.files.openCostInBytes", "1m"
+    )
 if os.environ.get("SPARK_GRAFT_APC", "1") == "1":
     # Cluster-faithful JVM sizing: every executor JVM on this ONE box
     # sees the host's 32 CPUs and ergonomically sizes its GC workers,
@@ -95,9 +103,17 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile(pyzip)
 from ocr_api_spark.plans.pipeline import extraction_plan
 
+# Pre-bucketed mode (r7): the input is already laid out by url-hash
+# bucket (the production Iceberg PARTITIONED BY (bucket) posture), so
+# the plan's repartition is skipped — with_bucket re-derives the same
+# value as a projection and the job has NO shuffle at all (claims stay
+# broadcast).  Contrast with the default mode isolates how much of the
+# executor-scaling loss is the one-box inter-JVM shuffle transport.
+prebucketed = os.environ.get("SPARK_GRAFT_PREBUCKETED", "0") == "1"
+
 def job(out, pages):
     claims = spark.read.parquet(claims_path)
-    plan = extraction_plan(pages, claims, 32, 8, n_parts=n_parts)
+    plan = extraction_plan(pages, claims, 32, 8, n_parts=None if prebucketed else n_parts)
     plan.write.mode("overwrite").partitionBy("bucket").parquet(out)
 
 warm = tempfile.mkdtemp(prefix="scale_warm_", dir="/dev/shm")
@@ -196,6 +212,34 @@ def main() -> None:
     if not os.path.exists(os.path.join(big, "_DONE")):
         raise SystemExit(f"run BENCH/scaling.py once first to build {big}")
 
+    pages_arg = f"{big}/pages.parquet"
+    if os.environ.get("SPARK_GRAFT_PREBUCKETED", "0") == "1":
+        # stage the corpus once as bucket-partitioned parquet, spread
+        # over (bucket, salt) files so the scan alone provides the UDF
+        # stage's parallelism — the sandbox stand-in for an Iceberg
+        # table PARTITIONED BY (bucket)
+        pre = big + "_prebucketed"
+        if not os.path.exists(os.path.join(pre, "_DONE")):
+            from pyspark.sql import SparkSession
+
+            from ocr_api_spark.plans.pipeline import with_bucket, with_salt
+
+            s = (
+                SparkSession.builder.master("local[16]")
+                .appName("prebucket-stage")
+                .config("spark.sql.shuffle.partitions", "64")
+                .config("spark.local.dir", "/dev/shm/spark_local")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            staged = with_salt(with_bucket(s.read.parquet(pages_arg), 32), 8)
+            staged.repartition(64, "bucket", "salt").drop("salt").write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(os.path.join(pre, "pages.parquet"))
+            s.stop()
+            open(os.path.join(pre, "_DONE"), "w").write("ok")
+        pages_arg = os.path.join(pre, "pages.parquet")
+
     n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
     records: dict[int, list[dict]] = {levels[0][0]: [], levels[1][0]: []}
     rows = None
@@ -240,7 +284,7 @@ def main() -> None:
         nonlocal rows
         out = subprocess.run(
             [sys.executable, "-c", WORKER, str(n_exec), str(c), str(mem),
-             f"{big}/pages.parquet", f"{big}/claims.parquet", pyzip],
+             pages_arg, f"{big}/claims.parquet", pyzip],
             capture_output=True,
             text=True,
             env=env,
