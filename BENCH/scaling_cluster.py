@@ -225,8 +225,9 @@ def main() -> None:
             from ocr_api_spark.plans.pipeline import with_bucket, with_salt
 
             s = (
-                SparkSession.builder.master("local[16]")
+                SparkSession.builder.master("local[8]")
                 .appName("prebucket-stage")
+                .config("spark.driver.memory", "24g")
                 .config("spark.sql.shuffle.partitions", "64")
                 .config("spark.local.dir", "/dev/shm/spark_local")
                 .config("spark.ui.enabled", "false")

@@ -101,13 +101,14 @@ def main() -> None:
 
     from bench import timed_best
 
-    def run(stride: int, materialize: str | None, sample_mod: int | None = None):
+    def run(stride: int, materialize: str | None, sample_mod: int | None = None,
+            winnow: int | None = None):
         state = {}
 
         def once():
             spans = duplicated_substring_spans(
                 corpus, window=20, stride=stride, materialize=materialize,
-                sample_mod=sample_mod,
+                sample_mod=sample_mod, winnow=winnow,
             )
             agg = spans.agg(
                 F.count("*").alias("n_spans"),
@@ -131,6 +132,7 @@ def main() -> None:
         rec = {
             "stride": stride,
             "sample_mod": sample_mod,
+            "winnow": winnow,
             "materialize": materialize or "none",
             "wall_s": best,
             "trials": samples,
@@ -159,6 +161,11 @@ def main() -> None:
     # sample_mod keys on the hash itself and holds
     for m in (2, 4):
         run(1, None, sample_mod=m)
+    # true-MOSS winnowing at comparable volumes: density ~2/(w+1), so
+    # w=3 ~ sample_mod 2 and w=9 ~ sample_mod 5 — alignment-robust like
+    # sample_mod but with a DETERMINISTIC per-passage guarantee
+    for w in (3, 9):
+        run(1, None, winnow=w)
     spark.stop()
 
 
