@@ -63,6 +63,26 @@ def test_extraction_plan_single_arrow_stage(session, tmp_path):
     assert "Exchange" in plan  # the (bucket, salt) repartition
 
 
+def test_extraction_plan_prebucketed_shuffle_free(session, tmp_path):
+    """The production posture (input already laid out by url-hash bucket
+    — Iceberg PARTITIONED BY (bucket) — claims broadcast): with
+    ``n_parts=None`` the plan has NO shuffle exchange at all.
+    with_bucket re-derives the partition value as a projection; the
+    only exchange is the claims BroadcastExchange.  This is the shape
+    BENCH/r7/ab_prebucketed measures for scaling."""
+    from ocr_api_spark.plans.pipeline import extraction_plan
+    from ocr_api_spark.sources.pages import write_pages
+
+    paths = write_pages(str(tmp_path), n_rows=50, seed=13)
+    pages = session.read.parquet(paths["pages"])
+    claims = session.read.parquet(paths["claims"])
+    plan = explain_str(extraction_plan(pages, claims, 8, 2, n_parts=None))
+    assert plan.count(") ArrowEvalPython") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert ") Exchange" not in plan, plan  # no shuffle; broadcast prints as "BroadcastExchange"
+    assert "BroadcastExchange" in plan
+
+
 def test_resume_filter_is_on_scan_side(session, tmp_path):
     """The bucket filter applied on re-run must sit below the UDF stage
     (cheap pre-extraction pruning), not above it."""
