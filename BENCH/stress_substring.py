@@ -127,7 +127,9 @@ def main() -> None:
                 shutil.rmtree(materialize, ignore_errors=True)
 
         best, samples, _clean = timed_best(once, trials=2, max_attempts=4, between=cleanup)
-        if stride == 1 and materialize is None and sample_mod is None:
+        if stride == 1 and materialize is None and sample_mod is None and winnow is None:
+            # exact-mode coverage only — a sampled mode must never
+            # become its own recall denominator (review r7)
             coverage_ref["cov"] = state["coverage"]
         rec = {
             "stride": stride,
