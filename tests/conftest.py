@@ -152,3 +152,7 @@ def run_ref(ns, name, *args, **kwargs):
     buf = io.StringIO()
     with redirect_stdout(buf):
         return ns[name](*args, **kwargs)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")
