@@ -378,6 +378,7 @@ def main() -> None:
                 "py_dirty_4n": [bool(r.get("py_dirty")) for r in records[n_hi]],
                 "shuffle_compress": os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "1"),
                 "netty_threads": os.environ.get("SPARK_GRAFT_NETTY_THREADS") or "default",
+                "prebucketed": os.environ.get("SPARK_GRAFT_PREBUCKETED", "0"),
                 "scaling_efficiency_n_to_4n": round(t_hi / (4 * t_lo), 3),
             }
         )

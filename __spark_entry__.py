@@ -1016,10 +1016,11 @@ def _stream_mask_regions(spark, sf_dir):
     char-width mask (img_w chosen so tok0 clips for most docs), and the
     stop-after-two-matches rule (tok5 is a valid third Aadhaar that
     must NOT be masked)."""
+    import shutil
     import tempfile
     import uuid
 
-    from ocr_api_spark.streaming.stream import MASK_REGION_SCHEMA, masking_stream
+    from ocr_api_spark.streaming.stream import masking_stream
 
     d = F.col("doc_id")
 
@@ -1095,9 +1096,10 @@ def _stream_mask_regions(spark, sf_dir):
         F.col("y_max").cast("int").alias("y_max"),
     )
     # the memory sink table is session-lived; snapshot it so the driver
-    # can collect after further queries run
+    # can collect after further queries run, then drop the temp source
     out = spark.createDataFrame(got.collect(), schema=got.schema)
-    return out if out.columns else got
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
 
 
 _STREAM_MASK_SQL = """

@@ -416,7 +416,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             isinstance(ref, dict)
             and isinstance(ref.get("md5"), (int, float))
             and isinstance(ref.get("mem"), (int, float))
-            and time.time() - float(ref.get("ts", 0)) < 7 * 86400
+            and isinstance(ref.get("ts"), (int, float))
+            and time.time() - ref["ts"] < 7 * 86400
         ):
             ref = {}
     except (OSError, ValueError):

@@ -531,7 +531,12 @@ def duplicated_substring_spans(
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
     if winnow is not None and winnow < 1:
         raise ValueError(f"winnow must be >= 1, got {winnow}")
-    if sum([stride > 1, sample_mod is not None and sample_mod > 1, winnow is not None]) > 1:
+    # a knob counts as SET when it departs its default, identity value
+    # included (review r7: the previous rule counted winnow=1 as active
+    # but sample_mod=1 as inactive — a parameter sweep crossing identity
+    # values got inconsistent accept/reject depending on which knob held
+    # the 1)
+    if sum([stride != 1, sample_mod is not None, winnow is not None]) > 1:
         raise ValueError(
             "stride, sample_mod and winnow are alternative sampling schemes — set one"
         )

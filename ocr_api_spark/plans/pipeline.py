@@ -345,16 +345,28 @@ def run_extraction(
                 "attempt_ts": [time.time()] * len(stats_rows),
             },
         )
-        _append_table(
-            os.path.join(out_dir, "lineage"),
-            {"bucket": sorted({r[0] for r in stats_rows})},
-        )
         # Iceberg-shaped commit record: which files this run added, with
         # per-bucket counts (plans/sink.py — verify_sink/compact_bucket
         # consume these)
         from ocr_api_spark.plans.sink import write_snapshot
 
         write_snapshot(out_dir, new_files, stats_rows)
+
+    # Lineage commits OUTSIDE the stats_rows gate when this run was
+    # bucket-scoped (review r7): a requested bucket that hashes zero
+    # urls produces no files, but the write that would have contained
+    # it DID commit — without a lineage row, run_extraction_chunked
+    # would re-launch that group's full job on every resume forever.
+    # Unscoped runs keep the old behavior (only touched buckets; a
+    # single job never loops on lineage).
+    lineage_buckets = {r[0] for r in stats_rows}
+    if buckets is not None:
+        lineage_buckets |= set(int(b) for b in buckets) - set(done)
+    if lineage_buckets:
+        _append_table(
+            os.path.join(out_dir, "lineage"),
+            {"bucket": sorted(lineage_buckets)},
+        )
 
     footer_rows = sum(r[1] for r in stats_rows)
     if footer_rows != n_rows:
@@ -408,6 +420,15 @@ def run_extraction_chunked(
     statistically even, and each group's job internally repartitions to
     full cluster parallelism, so chunking costs extra scans of the
     (pruned) input, not idle executors."""
+    if kw.get("dedupe"):
+        # review r7: dedupe_pages is a corpus-wide window that cannot be
+        # pushed below the per-group bucket filter — chunking would pay
+        # the FULL dedupe shuffle once per group (16x at 4096/256).
+        # Stage a deduped corpus once upstream instead.
+        raise ValueError(
+            "dedupe=True is not supported in chunked mode: run dedupe_pages "
+            "once and point pages_path at the deduped table"
+        )
     t0 = time.time()
     done = set(read_completed_buckets(spark, out_dir))
     totals = {"rows": 0, "groups_run": 0, "groups_skipped": 0}

@@ -84,7 +84,15 @@ def _run_worker(mode: str, out: str, cpus: int, kill_after_first_commit: bool) -
                 f.endswith(".parquet") for f in os.listdir(lineage)
             ):
                 time.sleep(1.0)  # let the commit finish, land inside the NEXT group
-                os.killpg(proc.pid, signal.SIGKILL)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    # the worker finished during the grace sleep — no
+                    # mid-flight state to test (review r7)
+                    proc.wait()
+                    raise SystemExit(
+                        "worker finished before the kill could land — corpus too small?"
+                    )
                 proc.wait()
                 return {"killed": True}
             time.sleep(0.25)

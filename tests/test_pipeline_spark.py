@@ -274,3 +274,36 @@ def test_chunked_run_kill_between_commits_resumes(session, synth, tmp_path, monk
         n_buckets=8, buckets_per_commit=2, n_salts=4,
     )
     assert again["groups_run"] == 0 and again["rows"] == 0
+
+
+def test_chunked_commits_empty_buckets(session, synth, tmp_path):
+    """A bucket that hashes zero urls must still enter lineage when its
+    group runs (review r7): without that, every resume re-launches the
+    group's full job forever and 'further invocation is a no-op' never
+    holds at production bucket counts."""
+    from ocr_api_spark.plans import pipeline
+
+    out = str(tmp_path / "sparse")
+    # 300 urls over 64 buckets: some buckets are empty w.h.p.
+    totals = pipeline.run_extraction_chunked(
+        session, synth["pages"], synth["claims"], out,
+        n_buckets=64, buckets_per_commit=16, n_salts=4,
+    )
+    assert totals["rows"] == 300
+    committed = set(pipeline.read_completed_buckets(session, out))
+    assert committed == set(range(64))  # every bucket, populated or not
+
+    again = pipeline.run_extraction_chunked(
+        session, synth["pages"], synth["claims"], out,
+        n_buckets=64, buckets_per_commit=16, n_salts=4,
+    )
+    assert again["groups_run"] == 0 and again["rows"] == 0
+
+    # chunked + dedupe is rejected loudly (full-corpus window per group)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunked"):
+        pipeline.run_extraction_chunked(
+            session, synth["pages"], synth["claims"], out,
+            n_buckets=64, buckets_per_commit=16, dedupe=True,
+        )
