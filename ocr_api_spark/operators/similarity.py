@@ -139,11 +139,32 @@ def near_dup_pairs(
 
 
 def ann_topk_lsh(
-    df: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id", bits: int = 8
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    bits: int = 8,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank inside the query's sign bucket.
     Recall < 1 by construction; the scale path for 10^12 rows (bucket
-    pruning pushes down to the scan when bucket is a partition column)."""
+    pruning pushes down to the scan when bucket is a partition column).
+
+    ``probe_radius`` is multiprobe LSH (Lv et al. 2007): also scan
+    buckets within that Hamming distance of the query's — a neighbor
+    on the far side of one (or r) hyperplanes is recovered at
+    sum(C(bits,i) for i<=r)/2^bits of the corpus instead of 1/2^bits.
+    r7 stress on midpoint queries (BENCH/stress_ann.py): radius 0 at 8
+    bits = 0.08 recall@10, radius 1 = candidate volume x9 for the
+    boundary-neighbor recovery the single bucket structurally misses;
+    IVF n_probe is the analogous knob on the coarse-quantizer path.
+    The probe set stays a literal IN-list (at most sum C(bits,<=r)
+    values) so partition pruning still applies."""
     qbucket = sum(2**i for i in range(bits) if query_vec[i] > 0)
-    bucketed = with_sign_bucket(df, bits=bits).where(F.col("bucket") == F.lit(qbucket))
+    probes = {qbucket}
+    for _ in range(probe_radius):
+        probes |= {b ^ (1 << i) for b in probes for i in range(bits)}
+    bucketed = with_sign_bucket(df, bits=bits).where(
+        F.col("bucket").isin([int(b) for b in sorted(probes)])
+    )
     return cosine_topk(bucketed, query_vec, k, id_col)

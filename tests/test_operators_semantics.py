@@ -96,6 +96,14 @@ def test_ann_subset_of_exact(session):
     recall = len(set(exact) & set(approx_ids)) / 10
     assert recall >= 0.3, recall
 
+    # multiprobe (r7): radius-1 probes every bucket one hyperplane away,
+    # so its candidate set is a superset and recall is monotone in the
+    # radius; at radius=bits the probe set is ALL buckets = exact
+    r1_ids = {r["vec_id"] for r in ann_topk_lsh(df, q, 10, bits=4, probe_radius=1).collect()}
+    assert len(set(exact) & r1_ids) >= len(set(exact) & set(approx_ids))
+    full = [r["vec_id"] for r in ann_topk_lsh(df, q, 10, bits=4, probe_radius=4).collect()]
+    assert full == exact
+
 
 def test_lang_guess_on_real_stopwords(session):
     from ocr_api_spark.operators.textstats import with_lang_guess
