@@ -77,6 +77,52 @@ def dedup_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def with_near_key(pages: DataFrame, n: int = 3, k: int = 4) -> DataFrame:
+    """The near-dup key as a pure projection (usable on batch frames
+    too): k shingle-set min-hashes concatenated; html-md5 fallback for
+    text-less rows.  See ``near_dup_stream`` for semantics."""
+    from ocr_api_spark.operators.dedup import _shingle_array
+
+    def mh(j: int):
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        )
+
+    return pages.withColumn("__sh", _shingle_array("text", n)).withColumn(
+        "near_key",
+        F.coalesce(
+            F.nullif(F.concat_ws("|", *[mh(j) for j in range(k)]), F.lit("")),
+            F.md5(F.col("html").cast("string")),
+            F.lit(""),
+        ),
+    ).drop("__sh")
+
+
+def near_dup_stream(
+    pages: DataFrame, watermark: str = "2 hours", n: int = 3, k: int = 4
+) -> DataFrame:
+    """Ingestion-time NEAR-dup guard — the minhash step of the batch
+    LSH pass moved to arrival time.  The k min-hashes are a pure
+    projection (same `_shingle_array` + array_min fold as
+    ``minhash_signatures_arr``, zero pre-drop shuffle) concatenated
+    into one key; ``dropDuplicatesWithinWatermark`` on that key drops
+    re-deliveries whose distinct-shingle minima ALL agree — the
+    formatting/boilerplate re-crawl variants whose md5 differs, which
+    ``dedup_stream`` passes through.  One concatenated band = all-k
+    agreement: high precision, recall limited to near-identical shingle
+    sets; cross-band recall and clustering stay with the batch LSH pass
+    (the same accept-then-compact split as dedup_stream's cross-horizon
+    backstop).  State is one row per key inside the watermark horizon.
+    Text-less rows (html-only payloads) fall back to the raw-bytes md5
+    so they dedupe exactly rather than all sharing an empty key."""
+    return (
+        with_near_key(pages, n=n, k=k)
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["near_key"])
+    )
+
+
 MASK_REGION_SCHEMA = "doc_id long, region_idx int, x_min int, y_min int, x_max int, y_max int"
 
 

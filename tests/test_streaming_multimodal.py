@@ -335,3 +335,63 @@ def test_masking_stream_matches_kernel(session, tmp_path):
     q.awaitTermination()
     streamed = session.table("mask_parity_test").orderBy("region_idx").collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_near_dup_stream_drops_formatting_variants(session, tmp_path):
+    """near_dup_stream drops re-deliveries whose distinct-shingle minima
+    agree even when md5 differs (exact dedup passes them): periodic
+    boilerplate at different repeat counts shares the shingle SET.
+    Unrelated docs and html-only rows survive."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_api_spark.streaming.stream import near_dup_stream, with_near_key
+
+    period = "alpha beta gamma"
+    text_a = " ".join([period] * 4)   # 12 tokens
+    text_b = " ".join([period] * 2)   # 6 tokens — same distinct 3-gram set
+    rows = [
+        ("http://a/1", datetime(2026, 1, 1, 8, 0), text_a, b""),
+        ("http://a/2", datetime(2026, 1, 1, 8, 10), text_b, b""),
+        ("http://b/1", datetime(2026, 1, 1, 8, 5), "totally different words here now", b""),
+        ("http://c/1", datetime(2026, 1, 1, 8, 6), "", b"<html>only payload</html>"),
+    ]
+    pages = session.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, html binary"
+    )
+
+    # batch sanity: the near keys of A and B agree, their md5s (the
+    # exact-dedup fingerprint) do not — so exact dedup would keep both
+    keys = {
+        r["url"]: r["near_key"]
+        for r in with_near_key(pages).select("url", "near_key").collect()
+    }
+    assert keys["http://a/1"] == keys["http://a/2"]
+    assert len({keys[u] for u in keys}) == 3
+    md5s = {r["url"]: r["m"] for r in pages.select("url", F.md5("text").alias("m")).collect()}
+    assert md5s["http://a/1"] != md5s["http://a/2"]
+
+    src = str(tmp_path / "near_src")
+    pages.coalesce(1).write.parquet(src)
+    stream = (
+        session.readStream.format("parquet")
+        .schema(session.read.parquet(src).schema)
+        .load(src)
+    )
+    out = str(tmp_path / "near_out")
+    q = (
+        near_dup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = session.read.parquet(out)
+    assert got.count() == 3
+    # exactly one of the periodic pair survives; the others all do
+    assert got.where(F.col("url").startswith("http://a/")).count() == 1
+    assert got.where(F.col("url") == "http://b/1").count() == 1
+    assert got.where(F.col("url") == "http://c/1").count() == 1
