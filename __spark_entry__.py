@@ -1096,8 +1096,12 @@ def _stream_mask_regions(spark, sf_dir):
         F.col("y_max").cast("int").alias("y_max"),
     )
     # the memory sink table is session-lived; snapshot it so the driver
-    # can collect after further queries run, then drop the temp source
+    # can collect after further queries run, then drop BOTH the temp
+    # source dir and the uuid-named sink view (review r7: repeated
+    # sweeps in one session would otherwise accumulate stale in-memory
+    # sink tables)
     out = spark.createDataFrame(got.collect(), schema=got.schema)
+    spark.catalog.dropTempView(name)
     shutil.rmtree(src_dir, ignore_errors=True)
     return out
 

@@ -172,13 +172,14 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     # frames bail after ~n/4096 comparisons instead of paying two full
     # O(n) scans that are guaranteed to fail; replicated-gray frames
     # (gray_to_bgr outputs fed back through the pre-OCR chain) pass it
-    # and then confirm with the exact full check
-    rs = r.reshape(-1)[::4096]
-    gs = g.reshape(-1)[::4096]
-    bs = b.reshape(-1)[::4096]
+    # and then confirm with the exact full check.  2-D strided VIEWS,
+    # not reshape(-1) — the channel slice of an HxWx3 frame is
+    # non-contiguous, so a 1-D reshape would silently memcpy the whole
+    # channel and cost more than the scans it replaces (review r7 #2)
+    rs = r[::64, ::64]
     if (
-        np.array_equal(rs, gs)
-        and np.array_equal(gs, bs)
+        np.array_equal(rs, g[::64, ::64])
+        and np.array_equal(rs, b[::64, ::64])
         and np.array_equal(r, g)
         and np.array_equal(g, b)
     ):

@@ -242,7 +242,16 @@ def _append_table(dir_path: str, columns: dict) -> None:
             for k, vals in columns.items()
         }
     )
-    pq.write_table(table, os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet"))
+    # dot-temp + rename (review r7): a SIGKILL mid-write must not leave
+    # a torn .parquet in lineage/metrics — read_completed_buckets
+    # deliberately surfaces read failures, so a truncated commit file
+    # would brick every subsequent resume.  Dotfiles are invisible to
+    # both Spark's reader and _data_files; rename on one filesystem is
+    # atomic, so the table only ever contains whole files.
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(dir_path, "." + name + ".tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(dir_path, name))
 
 
 def _ts_us(epoch_s: float):
