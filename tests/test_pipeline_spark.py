@@ -307,3 +307,26 @@ def test_chunked_commits_empty_buckets(session, synth, tmp_path):
             session, synth["pages"], synth["claims"], out,
             n_buckets=64, buckets_per_commit=16, dedupe=True,
         )
+
+
+def test_torn_lineage_tmp_file_is_invisible(session, synth, tmp_path):
+    """A SIGKILL mid-append leaves only a dot-prefixed .tmp in lineage
+    (the rename is atomic); readers must ignore it rather than brick
+    every resume (review r7)."""
+    from ocr_api_spark.plans import pipeline
+
+    out = str(tmp_path / "out")
+    pipeline.run_extraction(
+        session, synth["pages"], synth["claims"], out, n_buckets=8, n_salts=4
+    )
+    committed = set(pipeline.read_completed_buckets(session, out))
+
+    # simulate the torn write: a half-written temp from a killed append
+    lineage = tmp_path / "out" / "lineage"
+    (lineage / ".part-deadbeef.parquet.tmp").write_bytes(b"PAR1 torn garbage")
+
+    assert set(pipeline.read_completed_buckets(session, out)) == committed
+    # and the maintenance dir-diff ignores it too
+    assert not any(
+        f.endswith(".tmp") for f in pipeline._data_files(str(lineage))
+    )
