@@ -802,3 +802,68 @@ def test_duplicated_substring_spans_winnow(session):
         duplicated_substring_spans(df, window=4, winnow=3, sample_mod=2)
     with pytest.raises(ValueError, match="alternative sampling"):
         duplicated_substring_spans(df, window=4, winnow=3, stride=2)
+
+
+def test_winnow_differential_vs_python_replica(session):
+    """Differential check of the winnow pipeline against a pure-Python
+    replica (same md5 window hashes, same composite-key argmin over the
+    w-hash winnow window, same consecutive-duplicate collapse, same
+    count>=min_count gate and gap<=2w islands).  Small alphabet forces
+    window-hash collisions WITHIN docs (equal adjacent minima, tie
+    positions) — the edges the composite key and lag collapse exist
+    for."""
+    import hashlib
+    import random
+
+    from ocr_api_spark.operators.dedup import duplicated_substring_spans
+
+    rng = random.Random(99)
+    window, w = 3, 4
+    docs = {}
+    for doc_id in range(8):
+        n_tok = rng.randint(6, 40)
+        docs[doc_id] = [rng.choice("ab") for _ in range(n_tok)]
+
+    def replica():
+        sel = {}  # (doc, pos) -> whash of selected windows
+        for d, words in docs.items():
+            hashes = []
+            for p in range(len(words) - window + 1):
+                txt = " ".join(words[p : p + window])
+                hashes.append((p, hashlib.md5(txt.encode()).hexdigest()))
+            keys = [h + str(p).rjust(10, "0") for p, h in hashes]
+            chosen = []
+            for t in range(len(keys)):
+                kmin = min(keys[t : t + w])
+                if not chosen or chosen[-1] != kmin:
+                    chosen.append(kmin)
+            for kmin in chosen:
+                sel[(d, int(kmin[32:]))] = kmin[:32]
+        from collections import Counter
+
+        counts = Counter(sel.values())
+        flagged = sorted((d, p) for (d, p), h in sel.items() if counts[h] >= 2)
+        spans = []
+        for d in docs:
+            ps = [p for dd, p in flagged if dd == d]
+            if not ps:
+                continue
+            start = prev = ps[0]
+            n_sel = 1
+            for p in ps[1:]:
+                if p - prev > 2 * w:
+                    spans.append((d, start, prev + window - 1, n_sel))
+                    start, n_sel = p, 0
+                prev = p
+                n_sel += 1
+            spans.append((d, start, prev + window - 1, n_sel))
+        return sorted(spans)
+
+    df = session.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in docs.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_substring_spans(df, window=window, winnow=w).collect()
+    )
+    assert got == replica(), (got, replica())
