@@ -2106,6 +2106,68 @@ def _emb_ivf_topk(spark, sf_dir):
     )
 
 
+def _emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ / IVFADC (Jégou et al. 2011 — the FAISS billion-scale
+    layout): coarse-assign, PQ-encode the RESIDUAL, search by per-list
+    ADC tables over the probed lists only.  Everything is literal
+    arithmetic over the fixed coarse centroids + fixed codebooks, so
+    the DuckDB oracle replays assignment, residual encode, and the
+    per-list lookup sums exactly; ties (frequent — codes are coarse)
+    break on vec_id in both engines."""
+    from ocr_api_spark.operators.pq import ivfpq_encode, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = ivfpq_encode(emb, _IVF_CENTROIDS)
+    return ivfpq_topk(enc, _IVF_CENTROIDS, _QUERY_VEC, 10, n_probe=2).withColumn(
+        "vec_id", F.col("vec_id").cast("bigint")
+    )
+
+
+def _emb_ivfpq_sql() -> str:
+    from ocr_api_spark.operators.pq import adc_lut, default_codebooks
+
+    books = default_codebooks()
+    dsub = len(books[0][0])
+    m = len(books)
+    cents_sql = (
+        "[" + ", ".join("[" + ", ".join(str(v) for v in c) + "]" for c in _IVF_CENTROIDS) + "]"
+    )
+    # residual PQ codes: slice (embedding - assigned centroid) per subspace
+    code_cols = []
+    for j, book in enumerate(books):
+        res_sub = (
+            f"list_transform(range(1, {dsub} + 1), i -> "
+            f"(embedding::DOUBLE[])[{j * dsub} + i] - ({cents_sql})[ivf_list + 1][{j * dsub} + i])"
+        )
+        cents = ["[" + ", ".join(str(v) for v in c) + "]" for c in book]
+        dlist = "[" + ", ".join(f"list_distance({res_sub}::DOUBLE[], {c})" for c in cents) + "]"
+        code_cols.append(f"(list_position({dlist}, list_min({dlist})) - 1)::INT AS code_{j}")
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, _QUERY_VEC))
+
+    probes = sorted(range(len(_IVF_CENTROIDS)), key=lambda j: (d2(_IVF_CENTROIDS[j]), j))[:2]
+    cases = []
+    for lst in probes:
+        res_q = [a - b for a, b in zip(_QUERY_VEC, _IVF_CENTROIDS[lst])]
+        lut = adc_lut(res_q)
+        terms = " + ".join(
+            "([" + ", ".join(str(v) for v in row) + f"])[code_{j} + 1]"
+            for j, row in enumerate(lut)
+        )
+        cases.append(f"WHEN ivf_list = {lst} THEN {terms}")
+    dist = "CASE " + " ".join(cases) + " END"
+    return _ivf_assigned_cte() + f""",
+codes AS (
+  SELECT vec_id, ivf_list, {', '.join(code_cols)} FROM assigned
+)
+SELECT vec_id::BIGINT AS vec_id, ivf_list::INT AS ivf_list,
+       round({dist}, 6)::DOUBLE AS adc_dist
+FROM codes WHERE ivf_list IN ({probes[0]}, {probes[1]})
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def _sketch_hll_registers(spark, sf_dir):
     """Deterministic HyperLogLog registers over document texts —
     md5-derived, so the oracle reproduces the sketch bit-for-bit
@@ -2716,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_estimate": _sketch_hll_estimate,
         "emb_pq_topk": _emb_pq_topk,
         "emb_ivf_topk": _emb_ivf_topk,
+        "emb_ivfpq_topk": _emb_ivfpq_topk,
         "emb_ivf_kmeans": _emb_ivf_kmeans,
         "img_decode_features": _img_decode_features,
         "img_pdf_raster": _img_pdf_raster,
@@ -2792,6 +2855,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_estimate": _sketch_hll_est_sql(),
         "emb_pq_topk": _emb_pq_topk_sql(),
         "emb_ivf_topk": _emb_ivf_topk_sql(),
+        "emb_ivfpq_topk": _emb_ivfpq_sql(),
         "emb_ivf_kmeans": _emb_kmeans_sql(),
         "img_decode_features": _img_features_sql(),
         "img_pdf_raster": _pdf_raster_sql(),

@@ -149,3 +149,87 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    codebooks: list | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ index build (Jégou et al. 2011, IVFADC — the FAISS
+    billion-scale layout): coarse-assign each vector to its nearest
+    centroid (``ivf.ivf_assign``), subtract that centroid, and
+    PQ-encode the RESIDUAL.  Residuals are far more compact around 0
+    than raw vectors, so the same codebook budget quantizes them with
+    less error — and the stored index is (ivf_list, m code ints) per
+    row: the raw vectors never need to load at search time.
+
+    The residual subtraction is one ``zip_with`` against
+    ``element_at(<literal array of centroid arrays>, ivf_list + 1)`` —
+    a pure projection; the whole build is assignment-projection →
+    residual-projection → encode-projection, zero shuffles."""
+    from ocr_api_spark.operators.ivf import ivf_assign
+
+    assigned = ivf_assign(df, coarse_centroids, vec_col=vec_col)
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse_centroids]
+    )
+    residual = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents, F.col("ivf_list") + 1),
+        lambda a, b: a - b,
+    )
+    with_res = assigned.withColumn("__res", residual)
+    return pq_encode(with_res, codebooks, vec_col="__res").drop("__res", vec_col)
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    coarse_centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search: probe the ``n_probe`` coarse lists nearest the
+    query (driver-side argsort over the literal centroids, ties to the
+    smaller list id), and score each candidate by ADC against a
+    PER-LIST lookup table built on the query's residual w.r.t. THAT
+    list's centroid — ``n_probe`` m×k tables of driver floats shipped
+    as a literal ``when`` chain on ``ivf_list``.  The plan is a scan of
+    the code columns → literal projection → TakeOrderedAndProject;
+    list pruning pushes to the scan when ``ivf_list`` partitions the
+    index table, which is how the 10^12-row layout stores it."""
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query))
+
+    probes = sorted(range(len(coarse_centroids)), key=lambda j: (d2(coarse_centroids[j]), j))[
+        :n_probe
+    ]
+    dist = None
+    for lst in probes:
+        res_q = [a - b for a, b in zip(query, coarse_centroids[lst])]
+        lut = adc_lut(res_q, codebooks)
+        term = None
+        for j, row in enumerate(lut):
+            t = F.element_at(
+                F.array(*[F.lit(float(v)) for v in row]), F.col(f"code_{j}") + 1
+            )
+            term = t if term is None else term + t
+        dist = (
+            F.when(F.col("ivf_list") == lst, term)
+            if dist is None
+            else dist.when(F.col("ivf_list") == lst, term)
+        )
+    return (
+        encoded.where(F.col("ivf_list").isin([int(p) for p in probes]))
+        .select(
+            F.col(id_col),
+            F.col("ivf_list").cast("int").alias("ivf_list"),
+            F.round(dist, 6).cast("double").alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

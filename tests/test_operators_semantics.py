@@ -867,3 +867,46 @@ def test_winnow_differential_vs_python_replica(session):
         for r in duplicated_substring_spans(df, window=window, winnow=w).collect()
     )
     assert got == replica(), (got, replica())
+
+
+def test_ivfpq_degenerates_to_plain_pq_and_improves_on_it(session):
+    """IVFADC composition sanity: with ONE zero coarse centroid the
+    residual IS the vector, so ivfpq_topk must equal pq_adc_topk
+    row-for-row; with real clusters, residual quantization must score
+    the true neighbourhood at least as well as raw-vector PQ."""
+    import random
+
+    from ocr_api_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from ocr_api_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(300):
+        center = 2.0 if i % 2 == 0 else -2.0
+        rows.append(
+            (i, [center + rng.uniform(-0.4, 0.4) for _ in range(8)] + [0.0] * 56)
+        )
+    df = session.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [2.0] * 8 + [0.0] * 56
+
+    zero = [[0.0] * 64]
+    plain = pq_adc_topk(pq_encode(df), q, 10).collect()
+    via_ivfpq = ivfpq_topk(ivfpq_encode(df, zero), zero, q, 10, n_probe=1).drop(
+        "ivf_list"
+    ).collect()
+    assert [tuple(r) for r in via_ivfpq] == [tuple(r) for r in plain]
+
+    # two ±2 coarse centroids: probing 1 list restricts to the query's
+    # cluster, and every returned id must be from the positive cluster
+    cents = [[2.0] * 8 + [0.0] * 56, [-2.0] * 8 + [0.0] * 56]
+    got = ivfpq_topk(ivfpq_encode(df, cents), cents, q, 10, n_probe=1).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] % 2 == 0 for r in got)
+    # exact top-10 is also entirely the positive cluster — same lists
+    exact = cosine_topk(df, q, 10).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in exact)

@@ -243,6 +243,19 @@ def test_substring_dedup_winnow_single_doc_shuffle(session):
     assert n_doc_ex == n_doc_ex_base, (n_doc_ex, n_doc_ex_base, plan)
 
 
+def test_ivfpq_topk_pure_projection(session):
+    """IVFADC search is a scan of the code columns → literal when-chain
+    projection → TakeOrderedAndProject: no Python stage, no shuffle
+    exchange, no join — the raw vectors never load at search time."""
+    import __spark_entry__ as entry
+
+    plan = explain_str(entry.queries()["emb_ivfpq_topk"](session, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert ") Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_customer_activity_keeps_both_join_shapes(session):
     """The round-5 merged row must still EXECUTE a semi join and an
     anti join — folding the queries must not have degraded either to a
