@@ -111,6 +111,37 @@ def main() -> None:
             "wall_s_per_query": round(wall / n_queries, 3),
         }))
 
+    # IVF-PQ: same coarse quantizer, but candidates are scored from the
+    # compressed residual codes (raw vectors never load) — the recall
+    # delta vs IVF at equal n_probe IS the quantization cost
+    from ocr_api_spark.operators.pq import ivfpq_encode, ivfpq_topk, pq_train
+
+    # two code budgets: the oracle-sized default (m=4, k=8 → 12-bit
+    # codes) and a realistic one (m=8, k=16 → 32-bit codes).  The
+    # recall delta vs raw-vector IVF at equal n_probe is quantization
+    # error, which shrinks with the budget — the knob a production
+    # deployment turns (FAISS-scale setups run m>=8, k=256).
+    for m, kk in ((4, 8), (8, 16)):
+        books = pq_train(corpus.limit(2000), m=m, k=kk, dims=64)
+        enc = ivfpq_encode(corpus, centroids, codebooks=books).persist()
+        enc.count()
+        for n_probe in (2, 8):
+            t0 = time.time()
+            hits = 0
+            for q, gt in zip(queries, truth):
+                got = topk_ids(
+                    ivfpq_topk(enc, centroids, q, k, n_probe=n_probe, codebooks=books)
+                )
+                hits += len(got & gt)
+            wall = time.time() - t0
+            print(json.dumps({
+                "method": "ivfpq", "param": f"m={m},k={kk},probe={n_probe}",
+                "recall_at_10": round(hits / (k * n_queries), 4),
+                "candidate_frac": None,
+                "wall_s_per_query": round(wall / n_queries, 3),
+            }))
+        enc.unpersist()
+
     # sign-LSH: (bucket width, multiprobe radius) sweep — candidate
     # fraction ~ sum(C(bits, i) for i <= r) / 2^bits
     import math
