@@ -54,6 +54,10 @@ def sweep(sf_dir: str, spark) -> list[str]:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # Retired rows (swapped out of the 50-row driver registry) stay in
+    # the sweep's exact gate at every SF.
+    qs = {**qs, **entry.retired_queries()}
+    oracles = {**oracles, **entry.retired_oracle_sql()}
     fails: list[str] = []
     for name in qs:
         try:

@@ -48,16 +48,26 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
-@pytest.mark.parametrize("name", sorted(__import__("__spark_entry__").oracle_sql().keys()))
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        {
+            **__import__("__spark_entry__").oracle_sql(),
+            # rows swapped out of the 50-row driver registry keep their
+            # exact pytest gate here
+            **__import__("__spark_entry__").retired_oracle_sql(),
+        }.keys()
+    ),
+)
 def test_query_matches_oracle(session, ddb, name):
     import __spark_entry__ as entry
 
-    q = entry.queries()[name]
+    q = {**entry.queries(), **entry.retired_queries()}[name]
     sdf = q(session, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 
-    res = ddb.execute(entry.oracle_sql()[name])
+    res = ddb.execute({**entry.oracle_sql(), **entry.retired_oracle_sql()}[name])
     ddb_cols = [d[0] for d in res.description]
     ddb_rows = res.fetchall()
 

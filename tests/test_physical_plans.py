@@ -273,6 +273,6 @@ def test_hll_estimate_single_pass_aggregates(session):
     the two single-row aggregate results."""
     import __spark_entry__ as entry
 
-    plan = explain_str(entry.queries()["sketch_hll_estimate"](session, SF))
+    plan = explain_str(entry.retired_queries()["sketch_hll_estimate"](session, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
