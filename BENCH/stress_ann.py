@@ -96,12 +96,9 @@ def main() -> None:
             got = topk_ids(ivf_topk(assigned, centroids, q, k, n_probe=n_probe))
             hits += len(got & gt)
             # candidate volume = rows in the probed lists
-            import math
+            from ocr_api_spark.operators.pq import nearest_lists
 
-            def dist(c, q=q):
-                return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, q)))
-
-            probe = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+            probe = nearest_lists(centroids, q, n_probe)
             cand += sum(list_sizes.get(p, 0) for p in probe)
         wall = time.time() - t0
         print(json.dumps({
@@ -114,15 +111,21 @@ def main() -> None:
     # IVF-PQ: same coarse quantizer, but candidates are scored from the
     # compressed residual codes (raw vectors never load) — the recall
     # delta vs IVF at equal n_probe IS the quantization cost
-    from ocr_api_spark.operators.pq import ivfpq_encode, ivfpq_topk, pq_train
+    from ocr_api_spark.operators.pq import ivfpq_encode, ivfpq_topk, ivfpq_train
 
     # two code budgets: the oracle-sized default (m=4, k=8 → 12-bit
     # codes) and a realistic one (m=8, k=16 → 32-bit codes).  The
     # recall delta vs raw-vector IVF at equal n_probe is quantization
     # error, which shrinks with the budget — the knob a production
     # deployment turns (FAISS-scale setups run m>=8, k=256).
+    # Codebooks are trained on RESIDUALS (ivfpq_train — the IVFADC
+    # convention; training on raw vectors and encoding residuals would
+    # measure a train/apply distribution mismatch, not quantization
+    # error), over an orderBy-pinned sample so the recorded rows are
+    # reproducible across runs and task schedules.
+    train_set = corpus.orderBy("vec_id").limit(2000)
     for m, kk in ((4, 8), (8, 16)):
-        books = pq_train(corpus.limit(2000), m=m, k=kk, dims=64)
+        books = ivfpq_train(train_set, centroids, m=m, k=kk, dims=64)
         enc = ivfpq_encode(corpus, centroids, codebooks=books).persist()
         enc.count()
         for n_probe in (2, 8):

@@ -2124,11 +2124,10 @@ def _emb_ivfpq_topk(spark, sf_dir):
 
 
 def _emb_ivfpq_sql() -> str:
-    from ocr_api_spark.operators.pq import adc_lut, default_codebooks
+    from ocr_api_spark.operators.pq import adc_lut, default_codebooks, nearest_lists
 
     books = default_codebooks()
     dsub = len(books[0][0])
-    m = len(books)
     cents_sql = (
         "[" + ", ".join("[" + ", ".join(str(v) for v in c) + "]" for c in _IVF_CENTROIDS) + "]"
     )
@@ -2143,10 +2142,9 @@ def _emb_ivfpq_sql() -> str:
         dlist = "[" + ", ".join(f"list_distance({res_sub}::DOUBLE[], {c})" for c in cents) + "]"
         code_cols.append(f"(list_position({dlist}, list_min({dlist})) - 1)::INT AS code_{j}")
 
-    def d2(c):
-        return sum((a - b) ** 2 for a, b in zip(c, _QUERY_VEC))
-
-    probes = sorted(range(len(_IVF_CENTROIDS)), key=lambda j: (d2(_IVF_CENTROIDS[j]), j))[:2]
+    # probe choice shared with ivfpq_topk — the Spark/oracle pair can
+    # never diverge on which lists are searched
+    probes = nearest_lists(_IVF_CENTROIDS, _QUERY_VEC, 2)
     cases = []
     for lst in probes:
         res_q = [a - b for a, b in zip(_QUERY_VEC, _IVF_CENTROIDS[lst])]
@@ -2312,10 +2310,9 @@ WITH assigned AS (
 
 
 def _emb_ivf_topk_sql() -> str:
-    def d2(c):
-        return sum((a - b) ** 2 for a, b in zip(c, _QUERY_VEC))
+    from ocr_api_spark.operators.pq import nearest_lists
 
-    probe = sorted(range(len(_IVF_CENTROIDS)), key=lambda j: (d2(_IVF_CENTROIDS[j]), j))[:2]
+    probe = nearest_lists(_IVF_CENTROIDS, _QUERY_VEC, 2)
     qv = ", ".join(str(v) for v in _QUERY_VEC)
     return _ivf_assigned_cte() + f"""
 SELECT vec_id::BIGINT AS vec_id,

@@ -117,12 +117,13 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact re-rank restricted to the ``n_probe`` nearest inverted lists."""
-    import math
+    """Exact re-rank restricted to the ``n_probe`` nearest inverted lists.
 
-    def dist(c):
-        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+    Probe choice goes through the one shared :func:`pq.nearest_lists`
+    (squared L2 orders identically to the former sqrt form; ties to the
+    smaller list id, which the stable sort here already implied)."""
+    from ocr_api_spark.operators.pq import nearest_lists
 
-    probe = sorted(range(len(centroids)), key=lambda i: dist(centroids[i]))[:n_probe]
+    probe = nearest_lists(centroids, query_vec, n_probe)
     candidates = assigned.where(F.col("ivf_list").isin(probe))
     return cosine_topk(candidates, query_vec, k, id_col)

@@ -125,6 +125,36 @@ def adc_lut(query: list[float], codebooks: list | None = None) -> list[list[floa
     return lut
 
 
+def adc_distance(lut: list[list[float]]):
+    """Column expression summing the per-subspace ADC lookups
+    ``lut[j][code_j]`` — the one scoring kernel both ``pq_adc_topk``
+    and ``ivfpq_topk`` build their distance from (shared so a
+    tie-break or rounding change lands in every caller at once)."""
+    approx = None
+    for j, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]), F.col(f"code_{j}") + 1
+        )
+        approx = term if approx is None else approx + term
+    return approx
+
+
+def nearest_lists(
+    coarse_centroids: list[list[float]], query: list[float], n_probe: int
+) -> list[int]:
+    """The probe set: indices of the ``n_probe`` coarse centroids
+    nearest the query by squared L2, ties to the smaller list id.
+    Driver-side (the centroid table is k small vectors); shared by
+    ``ivfpq_topk`` and the entry-point DuckDB oracle builders so the
+    Spark/oracle pair can never diverge on probe choice."""
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query))
+
+    return sorted(range(len(coarse_centroids)), key=lambda j: (d2(coarse_centroids[j]), j))[
+        :n_probe
+    ]
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     query: list[float],
@@ -135,19 +165,48 @@ def pq_adc_topk(
     """Top-k by ADC distance: m literal-array lookups + adds per row
     over the code columns only (the raw vectors never load), then
     TakeOrderedAndProject.  Ties break on the id for a stable order."""
-    lut = adc_lut(query, codebooks)
-    approx = None
-    for j, row in enumerate(lut):
-        term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in row]), F.col(f"code_{j}") + 1
-        )
-        approx = term if approx is None else approx + term
+    approx = adc_distance(adc_lut(query, codebooks))
     return (
         codes_df.select(
             F.col(id_col), F.round(approx, 6).cast("double").alias("adc_dist")
         )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivfpq_train(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> list:
+    """Train PQ codebooks on the RESIDUALS w.r.t. the coarse quantizer —
+    the IVFADC convention (Jégou et al. 2011 §III.C; FAISS does the
+    same).  Residuals are centered near 0, a different distribution
+    from the raw vectors, so codebooks fit on raw subvectors and then
+    applied to residuals measure a train/apply mismatch rather than
+    quantization error.  This computes the same residual projection as
+    :func:`ivfpq_encode` and runs :func:`pq_train` over it, so the
+    trained books match exactly what encode will quantize."""
+    from ocr_api_spark.operators.ivf import ivf_assign
+
+    assigned = ivf_assign(df, coarse_centroids, vec_col=vec_col)
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse_centroids]
+    )
+    residual = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cents, F.col("ivf_list") + 1),
+        lambda a, b: a - b,
+    )
+    res_df = assigned.select(F.col(id_col), residual.alias("__res"))
+    return pq_train(
+        res_df, m=m, k=k, iters=iters, vec_col="__res", id_col=id_col, dims=dims
     )
 
 
@@ -202,22 +261,11 @@ def ivfpq_topk(
     the code columns → literal projection → TakeOrderedAndProject;
     list pruning pushes to the scan when ``ivf_list`` partitions the
     index table, which is how the 10^12-row layout stores it."""
-    def d2(c):
-        return sum((a - b) ** 2 for a, b in zip(c, query))
-
-    probes = sorted(range(len(coarse_centroids)), key=lambda j: (d2(coarse_centroids[j]), j))[
-        :n_probe
-    ]
+    probes = nearest_lists(coarse_centroids, query, n_probe)
     dist = None
     for lst in probes:
         res_q = [a - b for a, b in zip(query, coarse_centroids[lst])]
-        lut = adc_lut(res_q, codebooks)
-        term = None
-        for j, row in enumerate(lut):
-            t = F.element_at(
-                F.array(*[F.lit(float(v)) for v in row]), F.col(f"code_{j}") + 1
-            )
-            term = t if term is None else term + t
+        term = adc_distance(adc_lut(res_q, codebooks))
         dist = (
             F.when(F.col("ivf_list") == lst, term)
             if dist is None
