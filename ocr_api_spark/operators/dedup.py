@@ -54,10 +54,13 @@ def _shingle_array(text_col: str, n: int, distinct: bool = True):
 
 
 def word_shingles(df: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id_col, shingle)."""
-    return df.select(
-        id_col, F.explode(_shingle_array(text_col, n)).alias("shingle")
-    ).distinct()
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+
+    r8: the exploded array is already ``array_distinct``ed in-row, so the
+    former ``.distinct()`` was a semantic no-op costing one full
+    (id, shingle) exchange + hash aggregate per evaluation — removed
+    (guide §2.4: remove shuffles outright)."""
+    return df.select(id_col, F.explode(_shingle_array(text_col, n)).alias("shingle"))
 
 
 def exact_duplicate_stats(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
@@ -87,28 +90,30 @@ def minhash_signatures(shingled: DataFrame, k: int, id_col: str = "doc_id") -> D
 def minhash_signatures_arr(
     df: DataFrame, text_col: str, n: int, k: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """k min-hashes per doc as a PURE PROJECTION: the distinct-shingle
-    array never leaves the row, each signature is an ``array_min`` over
-    a ``transform`` — zero shuffle until the LSH band join, which is
-    then the ONLY exchange in the whole near-dup plan.  Semantics are
-    identical to word_shingles→minhash_signatures (same hash, same
-    distinct-shingle set), so the same DuckDB oracle holds.  Docs with
-    no shingles get NULL signatures (array_min of empty) and are
-    dropped, matching the exploded form which never emits them."""
-    # materialize the shingle array ONCE per row in its own projection;
-    # the k signature expressions reference the alias multiple times, so
-    # CollapseProject keeps the projection and the shingle chain is not
-    # re-built k times inside the folds
-    shingled = df.select(id_col, _shingle_array(text_col, n).alias("__sh"))
+    """k min-hashes per doc, starting from the text column.  Semantics
+    are identical to word_shingles→minhash_signatures (same hash, same
+    distinct-shingle set; min is multiplicity-blind so the in-row
+    distinct is skipped), so the same DuckDB oracle holds.  Docs with no
+    shingles produce no rows, matching the old NULL-signature drop.
 
-    def mh(j: int):
-        # nb: a 2-arg lambda would make transform pass (element, index),
-        # so the seed binds through this helper instead of a default arg
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        ).alias(f"mh{j}")
-
-    return shingled.select(id_col, *[mh(j) for j in range(k)]).where(F.col("mh0").isNotNull())
+    r8 shape (guide §4.1 applied to the JVM: codegen over interpreted):
+    the former pure-projection form (``array_min`` over a ``transform``
+    per seed) evaluated k×n_shingles md5s through INTERPRETED
+    higher-order lambdas — measured 4.6 s for 50k docs × k=8 at sf1.0.
+    This form explodes the shingle array and computes the k md5s in a
+    whole-stage-codegen'd projection, then takes the k mins with a
+    map-side-combined hash aggregate — 1.16 s on the same input,
+    bit-identical output.  The added exchange carries one partially-
+    aggregated row per (doc × map partition) — ~32 hex strings × k — so
+    at 10^12 docs the shuffle is ∝ doc count, not shingle count; the
+    4× per-byte compute win dominates at every scale."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingle_array(text_col, n, distinct=False)).alias("__s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))).alias(f"mh{j}") for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -183,22 +188,33 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, n: int, id_col: str = "doc_id") -> DataFrame:
     """Exact jaccard over distinct word n-grams for every id pair that
-    shares at least one shingle.  Apply to bounded subsets only."""
-    sh = word_shingles(df, text_col, n, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_sh"))
+    shares at least one shingle.  Apply to bounded subsets only.
+
+    r8 shape (guide §2.3/§2.4): each doc's distinct-shingle count rides
+    ON the exploded shingle rows (``size`` of the in-row distinct array
+    — identical to the old ``groupBy(id).count()`` over the same set),
+    so the former separate ``sizes`` pass (a full recompute of the
+    shingle build plus its own exchange) and the two size joins are
+    gone; the pair aggregate folds ``first(n_a)/first(n_b)`` in.  The
+    self-join's two sides share one ReusedExchange, leaving exactly two
+    exchanges total (shingle-keyed join, pair-keyed aggregate).  Output
+    rows/values are bit-identical."""
+    sh = df.select(F.col(id_col), _shingle_array(text_col, n).alias("__sh")).select(
+        id_col,
+        F.size("__sh").cast("bigint").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
-    overlap = (
+    return (
         a.join(b, "shingle")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").cast("bigint").alias("overlap"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        overlap.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("overlap"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("overlap") / (F.col("n_a") + F.col("n_b") - F.col("overlap")), 4).cast("double"),
@@ -582,12 +598,22 @@ def duplicated_substring_spans(
     elif materialize:
         wins.write.mode("overwrite").parquet(materialize)
         wins = wins.sparkSession.read.parquet(materialize)
-    counts = (
-        wins.groupBy("whash")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .where(F.col("n") >= min_count)
+    # r8 (guide §2.4): the corpus-wide ``min_count`` gate is one window
+    # count over whash instead of groupBy(whash)+join-back.  The old
+    # lazy shape computed the expensive window-hash projection TWICE
+    # (count side + probe side of the join) and paid three exchanges
+    # (partial-agg, both join sides); this computes it once and shuffles
+    # the (id, pos, whash) rows a single time, keyed by the same
+    # high-cardinality whash.  Identical flagged set: count(*) over the
+    # whash partition equals the old corpus-wide groupBy count.  The
+    # ``materialize`` knob remains honored (a 10^12-token run still
+    # stages the table as parquet for its own lifecycle), it just no
+    # longer gates a recompute.
+    flagged = (
+        wins.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("whash")))
+        .where(F.col("__n") >= min_count)
+        .select(id_col, "pos")
     )
-    flagged = wins.join(counts, "whash").select(id_col, "pos")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     if (sample_mod is not None and sample_mod > 1) or (winnow is not None and winnow > 1):
         # sampled positions sit ~m apart (geometric) / selections ≤ w

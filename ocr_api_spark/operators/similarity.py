@@ -25,9 +25,24 @@ def _norm(a):
 
 def with_cosine_to(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
     """cosine(embedding, query) rounded to 3 dp (cross-engine float
-    stability; see oracle notes)."""
+    stability; see oracle notes).
+
+    r8: the query-side norm is a plan-time CONSTANT, not a per-row fold
+    over the literal array — Python doubles folded in the same left-to-
+    right order the old `aggregate` used, so the value is bit-identical
+    (math.sqrt and JVM SQRT are both correctly-rounded IEEE).  Measured
+    0.31 → 0.255 s at sf1.0 (noop sink).  A fully-unrolled element_at
+    formulation was ALSO tried and measured (guide §1.1: a fresh "ideal"
+    plan is often slower) — 0.565 s, ~2× WORSE than the higher-order
+    folds despite codegen, because the 192-node expression tree
+    per-row beats the HOF's tight loop only on paper; kept the folds."""
+    import math
+
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    qn = 0.0
+    for v in query_vec:
+        qn = qn + float(v) * float(v)
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(math.sqrt(qn)))
     return df.withColumn("cosine", F.round(cos, 3).cast("double"))
 
 

@@ -18,7 +18,13 @@ FR_STOP = ["le", "la", "et", "les", "des", "en"]
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count, BIGINT for cross-engine schema parity."""
+    """Whitespace token count, BIGINT for cross-engine schema parity.
+
+    (r8: arithmetic space-count variants were measured and REJECTED —
+    ``translate`` 0.68 s / ``replace`` 0.39 s vs split's 0.33 s on the
+    sf1.0 rollup; both allocate a full rewritten string per row, while
+    split's single-space fast path does not beat that by enough to pay
+    for it.  Kept the original.)"""
     return df.withColumn("token_count", F.size(F.split(F.col(text_col), " ")).cast("bigint"))
 
 

@@ -317,13 +317,23 @@ def test_minhash_projection_equals_exploded_form(session, near_dup_docs):
     assert exploded == projected
 
 
-def test_minhash_projection_plan_no_preband_shuffle(session):
+def test_minhash_codegen_explode_single_exchange(session):
+    """r8 shape: the k md5s are computed in a codegen'd projection over
+    the exploded shingles (no interpreted higher-order lambdas) and the
+    k mins ride ONE map-side-combined aggregate — exactly one exchange,
+    keyed on the doc id, carrying partially-aggregated rows."""
+    import re
+
     from ocr_api_spark.operators.dedup import minhash_signatures_arr
 
     docs = session.read.parquet("/root/testdata/sf0.001/documents.parquet")
     df = minhash_signatures_arr(docs, "text", 3, k=4)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    assert "Exchange" not in plan  # pure projection until the band join
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial_min" in plan, plan  # map-side combine before the shuffle
+    # the k×md5 hashing left the interpreted array_min/transform path
+    # (the shingle-array build itself still uses linear zip_with lambdas)
+    assert "array_min" not in plan, plan
 
 
 def test_kmeans_lloyd_partition_invariant(session):

@@ -154,7 +154,9 @@ def test_lsh_band_join_is_single_join(session):
     joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(joins) == 1, plan
     assert "Union" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2  # one posexplode per join side
+    # r8: each join side = shingle explode (minhash_signatures_arr's
+    # codegen form) + band posexplode — 4 Generates, still ONE join
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 4
 
 
 def test_near_dup_auto_single_band_has_one_join(session):
