@@ -190,31 +190,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, n: int, id_col: str = "doc
     """Exact jaccard over distinct word n-grams for every id pair that
     shares at least one shingle.  Apply to bounded subsets only.
 
-    r8 shape (guide §2.3/§2.4): each doc's distinct-shingle count rides
-    ON the exploded shingle rows (``size`` of the in-row distinct array
-    — identical to the old ``groupBy(id).count()`` over the same set),
-    so the former separate ``sizes`` pass (a full recompute of the
-    shingle build plus its own exchange) and the two size joins are
-    gone; the pair aggregate folds ``first(n_a)/first(n_b)`` in.  The
-    self-join's two sides share one ReusedExchange, leaving exactly two
-    exchanges total (shingle-keyed join, pair-keyed aggregate).  Output
-    rows/values are bit-identical."""
-    sh = df.select(F.col(id_col), _shingle_array(text_col, n).alias("__sh")).select(
-        id_col,
-        F.size("__sh").cast("bigint").alias("n_sh"),
-        F.explode("__sh").alias("shingle"),
-    )
+    r8 shape (guide §2.3/§2.4, both A/B-measured at sf1.0 on the 16.8k-
+    doc LSH candidate set): the pair aggregate shuffles the NARROWEST
+    possible rows — (id_a, id_b, partial count) only; carrying the
+    per-doc sizes through the self-join was measured 1.8× slower (6.1 vs
+    3.3 s) because the pair shuffle dominates and widening it by two
+    longs beats everything it saves.  Sizes instead come from a separate
+    ``size(array)`` projection — NO explode, no exchange (the old form
+    recomputed the whole exploded shingle build and aggregated it) —
+    and attach via two explicitly-broadcast joins, sound here because
+    the operator's contract is bounded candidate subsets (one row per
+    candidate doc; a corpus-scale caller must pre-bound its input
+    regardless, see the quadratic warning above).  Output rows/values
+    are bit-identical to the pre-r8 operator."""
+    sh = df.select(F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle"))
+    sizes = df.select(F.col(id_col), F.size(_shingle_array(text_col, n)).cast("bigint").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    return (
+    overlap = (
         a.join(b, "shingle")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(
-            F.count("*").cast("bigint").alias("overlap"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+    )
+    sa = F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")))
+    return (
+        overlap.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("overlap") / (F.col("n_a") + F.col("n_b") - F.col("overlap")), 4).cast("double"),

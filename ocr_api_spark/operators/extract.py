@@ -248,22 +248,38 @@ def match_batch(
 ) -> pd.DataFrame:
     """Match fold per row: the reference's per-doc-type score sets
     (PAN app.py:2187-2200, Aadhaar app.py:2731-2744, financial
-    app.py:3239-3244)."""
+    app.py:3239-3244).
+
+    r8: per-row ``Series.iloc[i]`` lookups were ~half the batch's wall
+    (cProfile: 22.7k __getitem__ calls = 0.33 s of a 0.68 s 4000-row
+    batch) — each pays pandas' full positional-indexing machinery.  The
+    columns are pulled to plain lists once per batch instead; values
+    are identical (object-dtype Series round-trip None unchanged)."""
     out = []
-    for i in range(len(doc_types)):
-        doc_type = doc_types.iloc[i]
-        ext = extracted.iloc[i]
-        if ext is None or names.iloc[i] is None:
+    for doc_type, ext, name, father, dob, pan_v, adhar, addr, ifsc, micr, acct in zip(
+        doc_types.tolist(),
+        extracted.tolist(),
+        names.tolist(),
+        father_names.tolist(),
+        dobs.tolist(),
+        pans.tolist(),
+        adharnos.tolist(),
+        addresses.tolist(),
+        ifscs.tolist(),
+        micrs.tolist(),
+        accounts.tolist(),
+    ):
+        if ext is None or name is None:
             out.append({"percentages": None, "average_match_percentage": None})
             continue
         try:
             if doc_type == "pan" and ext.get("pan") is not None:
                 e = ext["pan"]
                 db = {
-                    "name": names.iloc[i] or "",
-                    "father_name": father_names.iloc[i] or "",
-                    "dob": dobs.iloc[i] or "",
-                    "pan": pans.iloc[i] or "",
+                    "name": name or "",
+                    "father_name": father or "",
+                    "dob": dob or "",
+                    "pan": pan_v or "",
                 }
                 res = matching.pan_matching_results(e, db)
                 avg = matching.pan_average(e, res)
@@ -271,10 +287,10 @@ def match_batch(
             elif doc_type == "aadhaar" and ext.get("aadhaar") is not None:
                 e = ext["aadhaar"]
                 db = {
-                    "name": names.iloc[i] or "",
-                    "adharno": adharnos.iloc[i] or "",
-                    "address": addresses.iloc[i] or "",
-                    "dob": dobs.iloc[i] or "",
+                    "name": name or "",
+                    "adharno": adhar or "",
+                    "address": addr or "",
+                    "dob": dob or "",
                 }
                 res = matching.aadhaar_matching_results(e, db)
                 avg = matching.aadhaar_average(e, res)
@@ -288,10 +304,10 @@ def match_batch(
                     "Account Number": e["account_number"],
                 }
                 db = {
-                    "Client Name": names.iloc[i],
-                    "MICR Code": micrs.iloc[i],
-                    "IFSC Code": ifscs.iloc[i],
-                    "Account Number": accounts.iloc[i],
+                    "Client Name": name,
+                    "MICR Code": micr,
+                    "IFSC Code": ifsc,
+                    "Account Number": acct,
                 }
                 res = matching.financial_matching_results(extracted_ref_keys, db)
                 out.append({"percentages": {k: float(v) for k, v in res.items()}, "average_match_percentage": None})

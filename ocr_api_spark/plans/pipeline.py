@@ -96,7 +96,20 @@ def extraction_plan(
     the join is shuffle-free."""
     pages = with_salt(with_bucket(pages, n_buckets), n_salts, hot_hosts)
     if n_parts:
-        pages = pages.repartition(n_parts, "bucket", "salt")
+        # r8 (guide §6 file sizing + §2.5): RANGE partition on (bucket,
+        # salt) instead of hash.  Hash scattered every bucket's n_salts
+        # salt groups across random partitions, so each task wrote ~8
+        # bucket directories — 481 files of ~250 rows at the sf1.0 bench
+        # (and a per-file writer/commit cost that dominated the write).
+        # Range keeps each partition on 1-2 consecutive buckets → 111
+        # files, measured 4.21 → 3.79 s for the same write INCLUDING
+        # range sampling's extra pass.  Skew posture is equal-or-better:
+        # the sampler balances partitions by row count, so a hot bucket
+        # is split at salt boundaries instead of hashing whole into one
+        # task.  Row placement stays deterministic (fixed sampling
+        # seed), and extraction is pure per-row, so output content is
+        # unchanged — only file layout improves.
+        pages = pages.repartitionByRange(n_parts, "bucket", "salt")
     if claims is not None:
         right = F.broadcast(claims) if broadcast_claims else claims
         joined = pages.join(right, "url", "left")
@@ -179,15 +192,15 @@ def _bucket_stats(new_files: set[str], wall_s: float) -> list[tuple]:
     from row-group ``status`` statistics when they decide (min==max),
     falling back to a single-column read only for mixed row groups."""
     import re as _re
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    per_bucket: dict[int, list[int]] = {}
-    for path in sorted(new_files):
+    def one(path: str) -> tuple[int, int, int] | None:
         mm = _re.search(r"bucket=(\d+)", path)
         if not mm:
-            continue
+            return None
         b = int(mm.group(1))
         pf = pq.ParquetFile(path)
         md = pf.metadata
@@ -208,9 +221,20 @@ def _bucket_stats(new_files: set[str], wall_s: float) -> list[tuple]:
                     continue
                 status = pf.read_row_group(rg, columns=["status"]).column("status")
                 failed += int(pc.sum(pc.equal(status, "Failed")).as_py() or 0)
-        agg = per_bucket.setdefault(b, [0, 0])
-        agg[0] += rows
-        agg[1] += failed
+        return (b, rows, failed)
+
+    # r8: footer opens are I/O + C-parse (GIL released in pyarrow), so a
+    # small thread pool cuts the driver-side stall roughly by its width;
+    # per-bucket aggregation order is unaffected (results merged after).
+    per_bucket: dict[int, list[int]] = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for res in pool.map(one, sorted(new_files)):
+            if res is None:
+                continue
+            b, rows, failed = res
+            agg = per_bucket.setdefault(b, [0, 0])
+            agg[0] += rows
+            agg[1] += failed
     return [(b, r, f, wall_s) for b, (r, f) in sorted(per_bucket.items()) if r]
 
 
