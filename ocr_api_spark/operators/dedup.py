@@ -150,20 +150,29 @@ def lsh_candidate_pairs(
         F.col(id_col), F.posexplode(F.array(*sig_exprs)).alias("band", "band_sig")
     )
     if max_bucket_size is not None:
-        # count per band_sig on the SAME key the join shuffles on (the
-        # join can reuse the window's hash partitioning); oversized
-        # buckets leave the join input before any pairing
-        from pyspark.sql import Window
-
-        banded = banded.withColumn(
-            "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+        # r8 (guide §2.4): bucket sizes from a map-side-combined
+        # aggregate on the SAME key the join uses, persisted once — the
+        # old form ran a sort-based window count over the banded table
+        # and, because the governance log is collected eagerly, paid
+        # that full window pass TWICE (once for the log action, once
+        # when the pairs plan executed).  The counts table is one row
+        # per distinct band signature (tiny next to the banded rows);
+        # the drop log is derived from it with identical values
+        # (bucket count = rows of the oversized slice, row count = sum
+        # of their sizes), and the governance filter becomes a keyed
+        # equi-join that the self-join's partitioning requirement
+        # absorbs.
+        counts = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .persist()
         )
         drops = (
-            banded.where(F.col("__bn") > max_bucket_size)
+            counts.where(F.col("__bn") > max_bucket_size)
             .groupBy("band")
             .agg(
-                F.count_distinct("band_sig").alias("n_buckets"),
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("__bn").cast("bigint").alias("n_rows"),
             )
         )
         for row in drops.collect():  # bounded: one row per band
@@ -172,7 +181,8 @@ def lsh_candidate_pairs(
                 "(%d rows > max_bucket_size=%d) — run exact dedup first",
                 row["band"], row["n_buckets"], row["n_rows"], max_bucket_size,
             )
-        banded = banded.where(F.col("__bn") <= max_bucket_size).drop("__bn")
+        ok = counts.where(F.col("__bn") <= max_bucket_size).select("band", "band_sig")
+        banded = banded.join(ok, ["band", "band_sig"])
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -190,34 +200,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, n: int, id_col: str = "doc
     """Exact jaccard over distinct word n-grams for every id pair that
     shares at least one shingle.  Apply to bounded subsets only.
 
-    r8 shape (guide §2.3/§2.4, both A/B-measured at sf1.0 on the 16.8k-
-    doc LSH candidate set): the pair aggregate shuffles the NARROWEST
-    possible rows — (id_a, id_b, partial count) only; carrying the
-    per-doc sizes through the self-join was measured 1.8× slower (6.1 vs
-    3.3 s) because the pair shuffle dominates and widening it by two
-    longs beats everything it saves.  Sizes instead come from a separate
-    ``size(array)`` projection — NO explode, no exchange (the old form
-    recomputed the whole exploded shingle build and aggregated it) —
-    and attach via two explicitly-broadcast joins, sound here because
-    the operator's contract is bounded candidate subsets (one row per
-    candidate doc; a corpus-scale caller must pre-bound its input
-    regardless, see the quadratic warning above).  Output rows/values
-    are bit-identical to the pre-r8 operator."""
-    sh = df.select(F.col(id_col), F.explode(_shingle_array(text_col, n)).alias("shingle"))
-    sizes = df.select(F.col(id_col), F.size(_shingle_array(text_col, n)).cast("bigint").alias("n_sh"))
+    r8 shape, chosen by A/B IN THE CALLING CONTEXT (guide §1.1 — the
+    "ideal" plan lost to the gotcha): each doc's distinct-shingle count
+    rides ON the exploded shingle rows (``size`` of the in-row distinct
+    array — identical value to the old ``groupBy(id).count()``), so the
+    former separate ``sizes`` pass and its two joins are gone and the
+    operator references its input exactly once per join side (one
+    ReusedExchange).  A "narrower-shuffle" variant (pair aggregate
+    carrying only the count, sizes attached via two broadcast joins)
+    measured 1.8× FASTER on pre-cached inputs — and 4× SLOWER inside
+    the real dedup flow (41.3 vs 9.9 s at sf1.0), because each
+    broadcast exchange re-evaluates the operator's input subtree, and
+    the real input (docs ⋈ LSH-candidate ids) is expensive to
+    recompute.  first(n_a/n_b) is deterministic: every row of a pair
+    group carries that doc's one size.  Output rows/values are
+    bit-identical to the pre-r8 operator."""
+    sh = df.select(F.col(id_col), _shingle_array(text_col, n).alias("__sh")).select(
+        id_col,
+        F.size("__sh").cast("bigint").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
-    overlap = (
+    return (
         a.join(b, "shingle")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").cast("bigint").alias("overlap"))
-    )
-    sa = F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")))
-    sb = F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")))
-    return (
-        overlap.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("overlap"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("overlap") / (F.col("n_a") + F.col("n_b") - F.col("overlap")), 4).cast("double"),
