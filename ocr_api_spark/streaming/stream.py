@@ -93,6 +93,13 @@ def with_near_key(pages: DataFrame, n: int = 3, k: int = 4) -> DataFrame:
         F.coalesce(
             F.nullif(F.concat_ws("|", *[mh(j) for j in range(k)]), F.lit("")),
             F.md5(F.col("html").cast("string")),
+            # ADVICE r7: rows with no shingles AND null html used to
+            # collapse onto the literal "" key, so distinct empty-payload
+            # documents were silently deduped against each other inside
+            # the watermark horizon.  A keyless row now keys on its own
+            # url (per-row unique) and passes through undeduplicated;
+            # "" remains only as the final never-in-practice resort.
+            F.col("url").cast("string"),
             F.lit(""),
         ),
     ).drop("__sh")

@@ -395,3 +395,24 @@ def test_near_dup_stream_drops_formatting_variants(session, tmp_path):
     assert got.where(F.col("url").startswith("http://a/")).count() == 1
     assert got.where(F.col("url") == "http://b/1").count() == 1
     assert got.where(F.col("url") == "http://c/1").count() == 1
+
+
+def test_near_dup_keyless_rows_pass_through(session):
+    """ADVICE r7: rows with no text shingles AND null html must NOT
+    collapse onto one shared key (distinct empty-payload docs were
+    silently deduplicated) — each keys on its own url instead."""
+    from datetime import datetime
+
+    from ocr_api_spark.streaming.stream import with_near_key
+
+    rows = [
+        ("http://empty/1", datetime(2026, 1, 1, 8, 0), "", None),
+        ("http://empty/2", datetime(2026, 1, 1, 8, 1), "", None),
+        ("http://empty/3", datetime(2026, 1, 1, 8, 2), None, None),
+    ]
+    pages = session.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, html binary"
+    )
+    keys = [r["near_key"] for r in with_near_key(pages).select("near_key").collect()]
+    assert len(set(keys)) == 3, keys  # per-row unique, nothing shared
+    assert "" not in keys
