@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import re
 
+# r8: precompiled hot-path patterns (module-level, once per worker)
+_RX0 = re.compile(r"[^0-9 /-]+")
+
 from ocr_api_spark.kernels.common import (
     DOB_TOKENS,
     alpha_space,
@@ -77,13 +80,13 @@ def digilocker_aadhaar(text: str) -> dict:
 
         if "date of birth" == clean_line.lower().strip():
             if not extracted_data["ocr_dob"]:
-                dob = re.sub(r"[^0-9 /-]+", "", lines[i + 1]).strip()
+                dob = _RX0.sub("", lines[i + 1]).strip()
                 if dob:
                     extracted_data["ocr_dob"] = dob
-                elif re.sub(r"[^0-9 /-]+", "", lines[i - 1]).strip():
-                    extracted_data["ocr_dob"] = re.sub(r"[^0-9 /-]+", "", lines[i - 1]).strip()
-                elif re.sub(r"[^0-9 /-]+", "", lines[i + 2]).strip():
-                    extracted_data["ocr_dob"] = re.sub(r"[^0-9 /-]+", "", lines[i + 2]).strip()
+                elif _RX0.sub("", lines[i - 1]).strip():
+                    extracted_data["ocr_dob"] = _RX0.sub("", lines[i - 1]).strip()
+                elif _RX0.sub("", lines[i + 2]).strip():
+                    extracted_data["ocr_dob"] = _RX0.sub("", lines[i + 2]).strip()
 
         # The reference's c/o | s/o | d/o elif chain: identical bodies, each
         # gated on the address still being empty (app.py:694-750).

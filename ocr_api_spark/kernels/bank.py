@@ -12,6 +12,26 @@ from __future__ import annotations
 
 import re
 
+# r8: precompiled hot-path patterns (module-level, once per worker)
+_RX0 = re.compile(r"Name[:\s]+(.+)", re.IGNORECASE)
+_RX1 = re.compile(r"\b\d{9}\b")
+_RX2 = re.compile(r"\b\d{10,16}\b")
+_RX3 = re.compile(r"MICR\s*Code\s*:\s*(\d{9})", re.IGNORECASE)
+_RX4 = re.compile(r"[^A-Za-z\s&]+")
+_RX5 = re.compile(r"\bon\b", re.IGNORECASE)
+_RX6 = re.compile(r"1©SC CODE.*?\}\s*([A-Z][A-Za-z\s]+)", re.IGNORECASE)
+_RX7 = re.compile(r"\b[A-Z][a-z]+\s[A-Z][A-Za-z]+(?:\s[A-Z][A-Za-z]+)?\b")
+_RX8 = re.compile(r"(Bank|Statement|Account|Branch|Bearer)", re.IGNORECASE)
+_RX9 = re.compile(r"\s{2,}")
+_RX10 = re.compile(r"Account\s*Number\s*:\s*(\d{8,18})", re.IGNORECASE)
+_RX11 = re.compile(r"\b\d{8,18}\b")
+_RX12 = re.compile(r"\W")
+_RX13 = re.compile(r"[A-Z]{4}0[A-Z0-9]{6}")
+_RX14 = re.compile(r"[A-Z0-9]{6,13}")
+_RX15 = re.compile(r"IFS(?:C|0|O)?[\s\-:=]*[Cc]ode[\s\-:=]*([A-Z0-9\s]{10,20})")
+_RX16 = re.compile(r"IFS[C0O][\s\-:=]*([A-Z0-9]{6,13})")
+_RX17 = re.compile(r"\b\d{9,18}\b")
+
 from ocr_api_spark.kernels.common import clean_text
 
 BANK_IFSC_PREFIXES = [
@@ -19,6 +39,14 @@ BANK_IFSC_PREFIXES = [
     "YESB", "CNRB", "IOBA", "ORBC", "MAHB", "INDB", "SCBL", "HSBC", "BDBL", "KKBK",
 ]
 
+_RX_NAME_EXCL = re.compile(
+    r"(bank|branch|account|code|address|holder|nominee|statement)", re.IGNORECASE
+)
+_RX_CHEQUE_EXCL = re.compile(r"(Savings|Account|Branch|Code|Bearer)", re.IGNORECASE)
+_RX_NAME_STMT = re.compile(
+    r"(?:MR\.|MRS\.|ACCOUNT HOLDER|NAME\(S\))\s*([A-Z][A-Za-z\s&]+(?:\s[A-Z][A-Za-z\s&]+)?)",
+    re.IGNORECASE,
+)
 _IFSC_STRICT = re.compile(r"[A-Z]{4}0[A-Z0-9]{6}")
 _IFSC_STRICT_B = re.compile(r"\b[A-Z]{4}0[A-Z0-9]{6}\b")
 
@@ -38,7 +66,7 @@ def extract_financial_data(text: str) -> dict:
     processed_lines = [line.strip() for line in lines if line.strip()]
 
     for line in processed_lines:
-        name_match = re.search(r"Name[:\s]+(.+)", line, re.IGNORECASE)
+        name_match = _RX0.search(line)
         if name_match:
             potential_name = clean_text(name_match.group(1).strip())
             if not any(word in potential_name.lower() for word in _FINANCIAL_NAME_EXCLUDE):
@@ -47,9 +75,7 @@ def extract_financial_data(text: str) -> dict:
 
     if not details["Client Name"]:
         for line in processed_lines:
-            if len(line.split()) > 1 and not re.search(
-                r"(bank|branch|account|code|address|holder|nominee|statement)", line, re.IGNORECASE
-            ):
+            if len(line.split()) > 1 and not _RX_NAME_EXCL.search(line):
                 details["Client Name"] = clean_text(line)
                 break
 
@@ -60,13 +86,13 @@ def extract_financial_data(text: str) -> dict:
             break
 
     for line in processed_lines:
-        micr_match = re.search(r"\b\d{9}\b", line)
+        micr_match = _RX1.search(line)
         if micr_match:
             details["MICR Code"] = clean_text(micr_match.group(0))
             break
 
     for line in processed_lines:
-        account_match = re.search(r"\b\d{10,16}\b", line)
+        account_match = _RX2.search(line)
         if account_match:
             details["Account Number"] = clean_text(account_match.group(0))
             break
@@ -96,12 +122,12 @@ def extract_bank_data(text: str) -> dict:
         if ifsc_corrected:
             info["ocr_IFSC"] = ifsc_corrected.group(0)
 
-    micr = re.search(r"MICR\s*Code\s*:\s*(\d{9})", text, re.IGNORECASE)
+    micr = _RX3.search(text)
     if micr:
         info["ocr_MICR"] = micr.group(1)
 
     if not info["ocr_MICR"]:
-        micr_fallback = re.search(r"\b\d{9}\b", text)
+        micr_fallback = _RX1.search(text)
         if micr_fallback:
             info["ocr_MICR"] = micr_fallback.group(0)
 
@@ -110,45 +136,39 @@ def extract_bank_data(text: str) -> dict:
             for j in range(1, 4):
                 if i - j >= 0:
                     potential_name = lines[i - j].strip()
-                    if len(potential_name.split()) > 1 and not re.search(
-                        r"(Savings|Account|Branch|Code|Bearer)", potential_name, re.IGNORECASE
-                    ):
-                        validated_name = re.sub(r"[^A-Za-z\s&]+", "", potential_name).strip()
-                        if validated_name and not re.search(r"\bon\b", validated_name, re.IGNORECASE):
+                    if len(potential_name.split()) > 1 and not _RX_CHEQUE_EXCL.search(potential_name):
+                        validated_name = _RX4.sub("", potential_name).strip()
+                        if validated_name and not _RX5.search(validated_name):
                             info["ocr_Account_Holder_Name"] = validated_name
                             break
             break
 
     if not info["ocr_Account_Holder_Name"]:
-        name_context_match = re.search(r"1©SC CODE.*?\}\s*([A-Z][A-Za-z\s]+)", text, re.IGNORECASE)
+        name_context_match = _RX6.search(text)
         if name_context_match:
             info["ocr_Account_Holder_Name"] = name_context_match.group(1).strip()
 
     if not info["ocr_Account_Holder_Name"]:
-        name_statement = re.search(
-            r"(?:MR\.|MRS\.|ACCOUNT HOLDER|NAME\(S\))\s*([A-Z][A-Za-z\s&]+(?:\s[A-Z][A-Za-z\s&]+)?)",
-            text,
-            re.IGNORECASE,
-        )
+        name_statement = _RX_NAME_STMT.search(text)
         if name_statement:
             info["ocr_Account_Holder_Name"] = name_statement.group(1).strip()
 
     if not info["ocr_Account_Holder_Name"]:
-        name_fallback = re.search(r"\b[A-Z][a-z]+\s[A-Z][A-Za-z]+(?:\s[A-Z][A-Za-z]+)?\b", text)
+        name_fallback = _RX7.search(text)
         if name_fallback:
             potential_name = name_fallback.group(0).strip()
-            if not re.search(r"(Bank|Statement|Account|Branch|Bearer)", potential_name, re.IGNORECASE):
+            if not _RX8.search(potential_name):
                 info["ocr_Account_Holder_Name"] = potential_name
 
     if info["ocr_Account_Holder_Name"]:
-        info["ocr_Account_Holder_Name"] = re.sub(r"\s{2,}", " ", info["ocr_Account_Holder_Name"]).strip()
+        info["ocr_Account_Holder_Name"] = _RX9.sub(" ", info["ocr_Account_Holder_Name"]).strip()
 
-    account = re.search(r"Account\s*Number\s*:\s*(\d{8,18})", text, re.IGNORECASE)
+    account = _RX10.search(text)
     if account:
         info["ocr_account_number"] = account.group(1)
 
     if not info.get("ocr_account_number"):
-        account_fallback = re.search(r"\b\d{8,18}\b", text)
+        account_fallback = _RX11.search(text)
         if account_fallback:
             info["ocr_account_number"] = account_fallback.group(0)
 
@@ -168,7 +188,7 @@ def normalize_ifsc(code: str) -> str:
         idx = code.find(prefix)
         if idx != -1:
             sliced = code[idx:].split()[0]
-            sliced = re.sub(r"\W", "", sliced)
+            sliced = _RX12.sub("", sliced)
             match = _IFSC_STRICT.search(sliced)
             if match:
                 return match.group()
@@ -183,7 +203,7 @@ def validate_relaxed_ifsc(code: str) -> bool:
     """app.py:4588-4592 — strict fullmatch, rejecting a literal IFSC prefix."""
     if code.startswith("IFSC"):
         return False
-    return bool(re.fullmatch(r"[A-Z]{4}0[A-Z0-9]{6}", code))
+    return bool(_RX13.fullmatch(code))
 
 
 def extract_ifsc_from_prefix(text: str, bank_prefixes=BANK_IFSC_PREFIXES) -> str | None:
@@ -193,7 +213,7 @@ def extract_ifsc_from_prefix(text: str, bank_prefixes=BANK_IFSC_PREFIXES) -> str
         idx = cleaned_text.find(prefix)
         if idx != -1:
             candidate = cleaned_text[idx : idx + 11]
-            if re.fullmatch(r"[A-Z]{4}0[A-Z0-9]{6}", candidate):
+            if _RX13.fullmatch(candidate):
                 return candidate
     return None
 
@@ -203,22 +223,22 @@ def extract_ifsc_code_from_text(text: str) -> str | None:
     label-line segments → keyword match with prefix patching →
     prefix-preferred valid candidate → prefix slice → None."""
     text = clean_text(text)
-    candidates = re.findall(r"[A-Z0-9]{6,13}", text)
+    candidates = _RX14.findall(text)
     valid_ifscs = []
     for raw in candidates:
         norm = normalize_ifsc(raw)
         if validate_relaxed_ifsc(norm):
             valid_ifscs.append(norm)
 
-    ifsc_lines = re.findall(r"IFS(?:C|0|O)?[\s\-:=]*[Cc]ode[\s\-:=]*([A-Z0-9\s]{10,20})", text)
+    ifsc_lines = _RX15.findall(text)
     for raw in ifsc_lines:
         parts = re.split(r"\s+", raw)
         for part in parts:
             norm = normalize_ifsc(part)
-            if re.fullmatch(r"[A-Z]{4}0[A-Z0-9]{6}", norm):
+            if _RX13.fullmatch(norm):
                 return norm
 
-    keyword_matches = re.findall(r"IFS[C0O][\s\-:=]*([A-Z0-9]{6,13})", text)
+    keyword_matches = _RX16.findall(text)
     for match in keyword_matches:
         norm = normalize_ifsc(match)
         if len(norm) <= 8 and norm.startswith("0"):
@@ -243,7 +263,7 @@ def extract_ifsc_code_from_text(text: str) -> str | None:
 def extract_longest_account_number(text: str) -> str | None:
     """app.py:4659-4670 minus the OCR engine: all 9-18 digit runs in the
     (space-joined) token text, longest wins."""
-    numbers = re.findall(r"\b\d{9,18}\b", text)
+    numbers = _RX17.findall(text)
     if numbers:
         return max(numbers, key=len)
     return None

@@ -11,6 +11,14 @@ datetime`` rebinding at app.py:5096, so date sorting uses the class.
 from __future__ import annotations
 
 import re
+
+# r8: precompiled hot-path patterns (module-level, once per worker)
+_RX0 = re.compile(r"NAME[:\-]?\s*([A-Z ]{3,})")
+_RX1 = re.compile(r"[A-Z ]{3,}")
+_RX2 = re.compile(r"^(ADDRESS|ADD)\b|^(ADDRESS|ADD)[A-Z]")
+_RX3 = re.compile(r"^(ADDRESS|ADD)[:\-\s]*")
+_RX4 = re.compile(r"(?<!\d)(\d{6})(?!\d)")
+_RX5 = re.compile(r"PIN[:\s\-]*?(\d{6})\b")
 from datetime import datetime
 
 from ocr_api_spark.kernels.common import fix_text
@@ -27,12 +35,12 @@ def extract_name_from_text(text: str) -> str | None:
     lines = text.upper().split("\n")
     for i, line in enumerate(lines):
         if "NAME" in line:
-            match = re.search(r"NAME[:\-]?\s*([A-Z ]{3,})", line)
+            match = _RX0.search(line)
             if match:
                 return match.group(1).strip()
             for j in range(i + 1, min(i + 3, len(lines))):
                 candidate = lines[j].strip()
-                if re.fullmatch(r"[A-Z ]{3,}", candidate) and not any(
+                if _RX1.fullmatch(candidate) and not any(
                     x in candidate for x in ["S/W/D", "DOB", "ADDRESS"]
                 ):
                     return candidate
@@ -48,9 +56,9 @@ def extract_address(text: str) -> list:
     collect = False
     for i, line in enumerate(lines):
         line_stripped = line.strip()
-        if re.match(r"^(ADDRESS|ADD)\b|^(ADDRESS|ADD)[A-Z]", line_stripped):
+        if _RX2.match(line_stripped):
             collect = True
-            cleaned_line = re.sub(r"^(ADDRESS|ADD)[:\-\s]*", "", line_stripped)
+            cleaned_line = _RX3.sub("", line_stripped)
             if cleaned_line:
                 address_lines.append(cleaned_line)
             continue
@@ -132,12 +140,12 @@ def extract_pincode(address_lines: list, full_text: str) -> str | None:
     confusion repair, then a labelled-PIN fallback over the raw text."""
     for line in reversed(address_lines):
         norm_line = _normalize_digits(line)
-        match = re.search(r"(?<!\d)(\d{6})(?!\d)", norm_line)
+        match = _RX4.search(norm_line)
         if match:
             return match.group(1)
 
     norm_text = _normalize_digits(full_text)
-    match = re.search(r"PIN[:\s\-]*?(\d{6})\b", norm_text)
+    match = _RX5.search(norm_text)
     if match:
         return match.group(1)
     return None

@@ -13,6 +13,9 @@ from __future__ import annotations
 
 import re
 
+# r8: precompiled hot-path patterns (module-level, once per worker)
+_RX0 = re.compile(r"\D")
+
 _AADHAAR_REGEX = re.compile(r"\b\d{4}\s?\d{4}\s?\d{4}\b")
 
 
@@ -38,7 +41,7 @@ def mask_aadhaar_regions(
         if not match:
             continue
         aadhaar_raw = match.group(0)
-        aadhaar_digits = re.sub(r"\D", "", aadhaar_raw)
+        aadhaar_digits = _RX0.sub("", aadhaar_raw)
         if len(aadhaar_digits) != 12:
             continue
 

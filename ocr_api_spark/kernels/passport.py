@@ -11,6 +11,20 @@ Ports of ``extract_passport_number`` (app.py:5417-5422),
 from __future__ import annotations
 
 import re
+
+# r8: precompiled hot-path patterns (module-level, once per worker)
+_RX0 = re.compile(r"\b([A-Z][0-9]{7})\b")
+_RX1 = re.compile(r"\bS[UO]R?N?A?M[E]?\b")
+_RX2 = re.compile(r".*S[UO]R?N?A?M[E]?\b[:\-\s/]*")
+_RX3 = re.compile(r"[A-Z]{2,}")
+_RX4 = re.compile(r".*GIVEN\s*NAME[S]?[):\/\-\s]*")
+_RX5 = re.compile(r"[^A-Z ]+")
+_RX6 = re.compile(r"[A-Z ]{2,}")
+_RX7 = re.compile(r"\b(ADDRESS|ADD)\b")
+_RX8 = re.compile(r"\b(\d{6})\b")
+_RX9 = re.compile(r"[A-Z\s]{3,}")
+_RX10 = re.compile(r"[^A-Z]")
+_RX11 = re.compile(r"\bMOTHE?R?\b")
 from datetime import datetime
 
 from ocr_api_spark.kernels.common import fix_text
@@ -20,7 +34,7 @@ _DATE_RE = re.compile(r"\d{2}[-/]\d{2}[-/]\d{4}")
 
 def extract_passport_number(text: str) -> str | None:
     """app.py:5417-5422 — ``\\b([A-Z][0-9]{7})\\b``."""
-    match = re.search(r"\b([A-Z][0-9]{7})\b", text)
+    match = _RX0.search(text)
     return match.group(1) if match else None
 
 
@@ -30,14 +44,14 @@ def extract_surname(lines: list, mrz_lines: list) -> str | None:
     forbidden_keywords = ["GIVEN", "NAMES", "NAME"]
     for i, line in enumerate(lines):
         line_upper = line.upper()
-        if re.search(r"\bS[UO]R?N?A?M[E]?\b", line_upper):
-            cleaned_inline = re.sub(r".*S[UO]R?N?A?M[E]?\b[:\-\s/]*", "", line_upper).strip()
-            if cleaned_inline and re.fullmatch(r"[A-Z]{2,}", cleaned_inline):
+        if _RX1.search(line_upper):
+            cleaned_inline = _RX2.sub("", line_upper).strip()
+            if cleaned_inline and _RX3.fullmatch(cleaned_inline):
                 return cleaned_inline
             for j in range(1, 3):
                 if i + j < len(lines):
                     candidate = lines[i + j].strip().upper()
-                    if re.fullmatch(r"[A-Z]{2,}", candidate) and not any(
+                    if _RX3.fullmatch(candidate) and not any(
                         kw in candidate for kw in forbidden_keywords
                     ):
                         return candidate
@@ -54,12 +68,12 @@ def extract_given_name(lines: list, mrz_lines: list) -> str | None:
     for i, line in enumerate(lines):
         line_clean = line.strip().upper()
         if "GIVEN" in line_clean and "NAME" in line_clean:
-            value = re.sub(r".*GIVEN\s*NAME[S]?[):\/\-\s]*", "", line_clean).strip()
-            value = re.sub(r"[^A-Z ]+", "", value)
+            value = _RX4.sub("", line_clean).strip()
+            value = _RX5.sub("", value)
             if len(value) < 3 or "GIVEN" in value:
                 if i + 1 < len(lines):
                     next_line = lines[i + 1].strip().upper()
-                    if re.fullmatch(r"[A-Z ]{2,}", next_line):
+                    if _RX6.fullmatch(next_line):
                         return next_line
             else:
                 return value
@@ -113,7 +127,7 @@ def extract_address_and_pin(text: str):
     collecting = False
 
     for i, line in enumerate(lines):
-        if not collecting and re.search(r"\b(ADDRESS|ADD)\b", line):
+        if not collecting and _RX7.search(line):
             collecting = True
             for j in range(1, 4):
                 if i + j < len(lines):
@@ -123,7 +137,7 @@ def extract_address_and_pin(text: str):
     if not collecting:
         for i, line in enumerate(lines):
             fixed_line = line.replace("O", "0")
-            if re.search(r"\b(\d{6})\b", fixed_line):
+            if _RX8.search(fixed_line):
                 start = max(i - 2, 0)
                 address_lines = lines[start : i + 1]
                 collecting = True
@@ -135,7 +149,7 @@ def extract_address_and_pin(text: str):
     pin_code = None
     for line in address_lines:
         fixed_line = line.replace("O", "0")
-        match = re.search(r"\b(\d{6})\b", fixed_line)
+        match = _RX8.search(fixed_line)
         if match:
             pin_code = match.group(1)
             break
@@ -156,24 +170,24 @@ def extract_family_members(lines: list) -> dict:
         for j in range(1, 3):
             if start_idx + j < len(lines):
                 candidate = lines[start_idx + j].strip().upper()
-                if re.fullmatch(r"[A-Z\s]{3,}", candidate):
+                if _RX9.fullmatch(candidate):
                     return candidate
         return None
 
     for i, line in enumerate(lines):
-        l = re.sub(r"[^A-Z]", "", line.upper())  # noqa: E741
+        l = _RX10.sub("", line.upper())  # noqa: E741
 
         if any(k in l for k in ["FATHER", "GUARDIAN", "LEGALGUARDIAN"]):
             name = find_name(i)
             if name:
                 data["father_or_guardian"] = name
 
-        if re.search(r"\bMOTHE?R?\b", line.upper()):
+        if _RX11.search(line.upper()):
             name = find_name(i)
             if name:
                 data["mother"] = name
 
-        clean_line = re.sub(r"[^A-Z]", "", line.upper())
+        clean_line = _RX10.sub("", line.upper())
         if any(kw in clean_line for kw in ["SPOUSE", "SPOUS"]):
             name = find_name(i)
             if name:
