@@ -15,9 +15,6 @@ from __future__ import annotations
 
 import re
 
-# r8: precompiled hot-path patterns (module-level, once per worker)
-_RX0 = re.compile(r"[^0-9 /-]+")
-
 from ocr_api_spark.kernels.common import (
     DOB_TOKENS,
     alpha_space,
@@ -28,6 +25,9 @@ from ocr_api_spark.kernels.common import (
     sanitize_b,
     split_lines,
 )
+
+# r8: precompiled hot-path patterns (module-level, once per worker)
+_RX0 = re.compile(r"[^0-9 /-]+")
 
 _NUM_SEP = re.compile(r"[^0-9 /-]+")
 _DIGITS_SPACE = re.compile(r"[^0-9 ]+")

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+from ocr_api_spark.kernels.common import clean_text
+
 # r8: precompiled hot-path patterns (module-level, once per worker)
 _RX0 = re.compile(r"Name[:\s]+(.+)", re.IGNORECASE)
 _RX1 = re.compile(r"\b\d{9}\b")
@@ -26,13 +28,10 @@ _RX9 = re.compile(r"\s{2,}")
 _RX10 = re.compile(r"Account\s*Number\s*:\s*(\d{8,18})", re.IGNORECASE)
 _RX11 = re.compile(r"\b\d{8,18}\b")
 _RX12 = re.compile(r"\W")
-_RX13 = re.compile(r"[A-Z]{4}0[A-Z0-9]{6}")
 _RX14 = re.compile(r"[A-Z0-9]{6,13}")
 _RX15 = re.compile(r"IFS(?:C|0|O)?[\s\-:=]*[Cc]ode[\s\-:=]*([A-Z0-9\s]{10,20})")
 _RX16 = re.compile(r"IFS[C0O][\s\-:=]*([A-Z0-9]{6,13})")
 _RX17 = re.compile(r"\b\d{9,18}\b")
-
-from ocr_api_spark.kernels.common import clean_text
 
 BANK_IFSC_PREFIXES = [
     "SBIN", "ICIC", "HDFC", "PUNB", "UTIB", "IBKL", "BARB", "KARB",
@@ -203,7 +202,7 @@ def validate_relaxed_ifsc(code: str) -> bool:
     """app.py:4588-4592 — strict fullmatch, rejecting a literal IFSC prefix."""
     if code.startswith("IFSC"):
         return False
-    return bool(_RX13.fullmatch(code))
+    return bool(_IFSC_STRICT.fullmatch(code))
 
 
 def extract_ifsc_from_prefix(text: str, bank_prefixes=BANK_IFSC_PREFIXES) -> str | None:
@@ -213,7 +212,7 @@ def extract_ifsc_from_prefix(text: str, bank_prefixes=BANK_IFSC_PREFIXES) -> str
         idx = cleaned_text.find(prefix)
         if idx != -1:
             candidate = cleaned_text[idx : idx + 11]
-            if _RX13.fullmatch(candidate):
+            if _IFSC_STRICT.fullmatch(candidate):
                 return candidate
     return None
 
@@ -235,7 +234,7 @@ def extract_ifsc_code_from_text(text: str) -> str | None:
         parts = re.split(r"\s+", raw)
         for part in parts:
             norm = normalize_ifsc(part)
-            if _RX13.fullmatch(norm):
+            if _IFSC_STRICT.fullmatch(norm):
                 return norm
 
     keyword_matches = _RX16.findall(text)

@@ -12,6 +12,10 @@ from __future__ import annotations
 
 import re
 
+from datetime import datetime
+
+from ocr_api_spark.kernels.common import fix_text
+
 # r8: precompiled hot-path patterns (module-level, once per worker)
 _RX0 = re.compile(r"NAME[:\-]?\s*([A-Z ]{3,})")
 _RX1 = re.compile(r"[A-Z ]{3,}")
@@ -19,9 +23,6 @@ _RX2 = re.compile(r"^(ADDRESS|ADD)\b|^(ADDRESS|ADD)[A-Z]")
 _RX3 = re.compile(r"^(ADDRESS|ADD)[:\-\s]*")
 _RX4 = re.compile(r"(?<!\d)(\d{6})(?!\d)")
 _RX5 = re.compile(r"PIN[:\s\-]*?(\d{6})\b")
-from datetime import datetime
-
-from ocr_api_spark.kernels.common import fix_text
 
 _DL_PATTERN = re.compile(r"\b[A-Z]{2}\d{2}[A-Z]?\d{4,5}\d{5,8}\b")
 _DATE_RE = re.compile(r"\d{2}[-/]\d{2}[-/]\d{4}")

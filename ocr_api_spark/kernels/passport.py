@@ -12,6 +12,10 @@ from __future__ import annotations
 
 import re
 
+from datetime import datetime
+
+from ocr_api_spark.kernels.common import fix_text
+
 # r8: precompiled hot-path patterns (module-level, once per worker)
 _RX0 = re.compile(r"\b([A-Z][0-9]{7})\b")
 _RX1 = re.compile(r"\bS[UO]R?N?A?M[E]?\b")
@@ -25,9 +29,6 @@ _RX8 = re.compile(r"\b(\d{6})\b")
 _RX9 = re.compile(r"[A-Z\s]{3,}")
 _RX10 = re.compile(r"[^A-Z]")
 _RX11 = re.compile(r"\bMOTHE?R?\b")
-from datetime import datetime
-
-from ocr_api_spark.kernels.common import fix_text
 
 _DATE_RE = re.compile(r"\d{2}[-/]\d{2}[-/]\d{4}")
 

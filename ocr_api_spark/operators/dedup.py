@@ -59,7 +59,10 @@ def word_shingles(df: DataFrame, text_col: str, n: int, id_col: str = "doc_id") 
     r8: the exploded array is already ``array_distinct``ed in-row, so the
     former ``.distinct()`` was a semantic no-op costing one full
     (id, shingle) exchange + hash aggregate per evaluation — removed
-    (guide §2.4: remove shuffles outright)."""
+    (guide §2.4: remove shuffles outright).  Precondition made explicit
+    by the removal: ``id_col`` must be unique per document (every caller
+    here feeds key-unique frames).  A frame with duplicate ids now
+    yields duplicate pairs instead of being silently merged."""
     return df.select(id_col, F.explode(_shingle_array(text_col, n)).alias("shingle"))
 
 
@@ -156,17 +159,17 @@ def lsh_candidate_pairs(
         # and, because the governance log is collected eagerly, paid
         # that full window pass TWICE (once for the log action, once
         # when the pairs plan executed).  The counts table is one row
-        # per distinct band signature (tiny next to the banded rows);
-        # the drop log is derived from it with identical values
-        # (bucket count = rows of the oversized slice, row count = sum
-        # of their sizes), and the governance filter becomes a keyed
-        # equi-join that the self-join's partitioning requirement
-        # absorbs.
-        counts = (
-            banded.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .persist()
-        )
+        # per distinct band signature; the drop log is derived from it
+        # with identical values (bucket count = rows of the oversized
+        # slice, row count = sum of their sizes), and the governance
+        # filter becomes a keyed equi-join that the self-join's
+        # partitioning requirement absorbs.  NOT persisted (review r8):
+        # an operator-internal persist can never be unpersisted at the
+        # right time and pins cache for the session per call; the
+        # recompute it would save is one map-side-combined aggregate
+        # over the (usually caller-cached) signature table, measured
+        # free in the bench flow (11.1 vs 11.6 s — noise).
+        counts = banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("__bn"))
         drops = (
             counts.where(F.col("__bn") > max_bucket_size)
             .groupBy("band")
@@ -482,17 +485,17 @@ def duplicated_substring_spans(
     content-defined chunking variant drops its volume by the stride
     factor at a recall cost, which is the documented scale knob.
 
-    Plan note: expressed lazily, Catalyst computes the window-hash
-    projection twice (count side + probe side of the join back).
-    ``materialize`` removes the recompute (the r5 verdict's knob, same
-    pattern bench.py uses for the minhash signature table): ``"cache"``
-    persists the (doc, pos, whash) table in executor storage for the
-    action's lifetime (caller may ``spark.catalog.clearCache()``
-    after); any other string is a directory path the table is written
-    to as parquet once and re-read from both sides — the caller owns
-    the path's lifecycle, which is how a 10^12-token run would stage it
-    as its own table anyway.  ``None`` (default) stays pure
-    composition, no hidden persist.
+    Plan note (r8): the corpus-wide count rides ONE window over whash,
+    so the window-hash projection is computed once per action — the
+    pre-r8 groupBy+join-back shape computed it twice, which is what the
+    ``materialize`` knob existed to remove.  The knob remains honored
+    but is now only a staging convenience: ``"cache"`` persists the
+    (doc, pos, whash) table in executor storage (caller may
+    ``spark.catalog.clearCache()`` after); any other string is a
+    directory path the table is written to as parquet and re-read — the
+    caller owns the path's lifecycle, which is how a 10^12-token run
+    stages it as its own table anyway.  ``None`` (default) stays pure
+    composition, no hidden persist, and no longer implies a recompute.
 
     ``stride`` > 1 is the documented scale knob: windows start only at
     positions ≡ 0 (mod stride), dropping hash-count shuffle volume by

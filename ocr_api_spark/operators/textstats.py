@@ -22,9 +22,9 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     (r8: arithmetic space-count variants were measured and REJECTED —
     ``translate`` 0.68 s / ``replace`` 0.39 s vs split's 0.33 s on the
-    sf1.0 rollup; both allocate a full rewritten string per row, while
-    split's single-space fast path does not beat that by enough to pay
-    for it.  Kept the original.)"""
+    sf1.0 rollup; both allocate a full rewritten string per row just to
+    take its length, which costs more than split's token array.  Kept
+    the original.)"""
     return df.withColumn("token_count", F.size(F.split(F.col(text_col), " ")).cast("bigint"))
 
 

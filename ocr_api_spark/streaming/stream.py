@@ -110,8 +110,11 @@ def near_dup_stream(
 ) -> DataFrame:
     """Ingestion-time NEAR-dup guard — the minhash step of the batch
     LSH pass moved to arrival time.  The k min-hashes are a pure
-    projection (same `_shingle_array` + array_min fold as
-    ``minhash_signatures_arr``, zero pre-drop shuffle) concatenated
+    projection (`_shingle_array` + array_min fold — value-identical to
+    the keys ``minhash_signatures_arr`` computes, which r8 moved to an
+    explode+aggregate shape for batch throughput; the streaming side
+    keeps the fold because a pre-drop aggregate would add stateful
+    shuffle to the stream) concatenated
     into one key; ``dropDuplicatesWithinWatermark`` on that key drops
     re-deliveries whose distinct-shingle minima ALL agree — the
     formatting/boilerplate re-crawl variants whose md5 differs, which
