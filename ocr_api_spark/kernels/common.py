@@ -70,6 +70,10 @@ except ImportError:  # pragma: no cover
 # charset A keeps commas (used for the initial line split, app.py:581);
 # charset B drops them (per-line re-clean, app.py:586).
 _SAN_A = re.compile(r"[^A-Za-z0-9 /,-]+")
+# charset A with newline preserved: lets split_lines sanitize the WHOLE
+# text in one sub call and split afterwards (r8) — per-line sub calls
+# were the hot spot of the canonical split
+_SAN_A_KEEPNL = re.compile(r"[^A-Za-z0-9 /,\n-]+")
 _SAN_B = re.compile(r"[^A-Za-z0-9 /-]+")
 _ALPHA_SPACE = re.compile(r"[^A-Za-z ]+")
 _DIGITS_ONLY = re.compile(r"[^0-9]+")
@@ -100,8 +104,18 @@ def digits_only(line: str) -> str:
 
 def split_lines(text: str) -> list[str]:
     """The canonical line split every extractor opens with (app.py:581):
-    sanitize charset A per line, strip, drop blank lines."""
-    return [sanitize_a(line).strip() for line in text.split("\n") if line.strip()]
+    sanitize charset A per line, strip, drop blank lines.
+
+    r8: one whole-text sub (newline kept in the charset) replaces a sub
+    call per line; the blank-line filter still tests the ORIGINAL line
+    (a line of only-sanitized-away chars stays present as '' in the
+    output, exactly as before — reference parity)."""
+    san_lines = _SAN_A_KEEPNL.sub("", text).split("\n")
+    return [
+        s.strip()
+        for line, s in zip(text.split("\n"), san_lines)
+        if line and not line.isspace()
+    ]
 
 
 # --- date helpers ---------------------------------------------------------
